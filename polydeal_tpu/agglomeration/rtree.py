@@ -1,0 +1,147 @@
+"""R-tree agglomeration via Sort-Tile-Recursive (STR) bulk loading.
+
+TPU-native rebuild of the reference's boost R*-tree + visitor extraction
+(reference include/agglomerator.h: ``CellsAgglomerator`` /
+``Rtree_visitor``, :165-434).  Instead of walking a pointer tree, we build
+the hierarchy bottom-up with sort-tile-recursive packing over cell-center
+coordinates and store, for every tree level, a flat assignment array
+``cell -> node id``.  Extracting the agglomerates of a level and the
+parent->children hierarchy used by multigrid (reference
+agglomerator.h:460-471 ``get_hierarchy``) are then O(1) array lookups.
+
+Conventions matching the reference:
+  * fanout defaults to 2^dim elements per node (examples/poisson.cc:572-573)
+  * level 0 is the root (a single agglomerate = whole local mesh);
+    deeper levels are finer (reference extraction_level semantics)
+  * requesting a level deeper than the tree returns the leaves, i.e. one
+    cell per agglomerate (the reference's depth-0 fallback,
+    agglomerator.h:407-413).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["str_tile", "RTreeAgglomerator"]
+
+
+def str_tile(points: np.ndarray, n_groups: int) -> np.ndarray:
+    """Sort-tile-recursive grouping of points into ``n_groups`` labels.
+
+    points: [n, dim].  Returns labels [n] in 0..n_groups-1 with group sizes
+    differing by at most ceil(n/n_groups) vs floor.  Tiles along coordinate
+    axes in order, recursively (the STR packing rule).
+    """
+    n, dim = points.shape
+    labels = np.zeros(n, dtype=np.int64)
+    if n_groups <= 1 or n == 0:
+        return labels
+
+    def rec(idx: np.ndarray, pts: np.ndarray, k: int, axis: int, base: int):
+        if k <= 1 or idx.shape[0] == 0:
+            labels[idx] = base
+            return
+        # number of slices along this axis: k^(1/remaining_dims)
+        rem = pts.shape[1] - axis
+        if rem <= 1:
+            # last axis: split directly into k runs
+            order = np.argsort(pts[:, axis], kind="stable")
+            bounds = np.linspace(0, idx.shape[0], k + 1).astype(np.int64)
+            for g in range(k):
+                labels[idx[order[bounds[g] : bounds[g + 1]]]] = base + g
+            return
+        s = int(np.ceil(k ** (1.0 / rem)))
+        s = min(s, k)
+        order = np.argsort(pts[:, axis], kind="stable")
+        # distribute k groups over s slices as evenly as possible
+        per = [k // s + (1 if i < k % s else 0) for i in range(s)]
+        bounds = np.zeros(s + 1, dtype=np.int64)
+        total = idx.shape[0]
+        acc = 0
+        for i in range(s):
+            acc += per[i]
+            bounds[i + 1] = int(round(total * acc / k))
+        gbase = base
+        for i in range(s):
+            sl = order[bounds[i] : bounds[i + 1]]
+            rec(idx[sl], pts[sl], per[i], axis + 1, gbase)
+            gbase += per[i]
+
+    rec(np.arange(n), points, n_groups, 0, 0)
+    return labels
+
+
+@dataclass
+class RTreeAgglomerator:
+    """Bottom-up STR hierarchy over fine-cell centers.
+
+    Attributes:
+      level_assign: list over tree levels (0 = root) of int arrays
+        [n_cells] mapping each cell to its ancestor node id at that level.
+        Node ids at each level are compact 0..n_nodes(level)-1.
+      n_levels: depth of the tree including the leaf level.
+    """
+
+    level_assign: list  # list[np.ndarray]
+
+    @classmethod
+    def build(cls, centers: np.ndarray, fanout: int | None = None) -> "RTreeAgglomerator":
+        centers = np.asarray(centers, dtype=np.float64)
+        n, dim = centers.shape
+        if fanout is None:
+            fanout = 1 << dim  # 2^dim, the reference's convention
+        # leaf level: each cell its own node, ordered by STR position
+        levels = []  # built top-down later; collect bottom-up first
+        # bottom-up: current nodes with representative centers
+        node_of_cell = np.arange(n, dtype=np.int64)
+        node_centers = centers
+        chain = [node_of_cell]
+        while node_centers.shape[0] > 1:
+            n_nodes = node_centers.shape[0]
+            n_parents = max(1, int(np.ceil(n_nodes / fanout)))
+            parent = str_tile(node_centers, n_parents)
+            # compact parent labels by first occurrence for determinism
+            _, first, inv = np.unique(parent, return_index=True, return_inverse=True)
+            order = np.argsort(np.argsort(first))
+            parent = order[inv]
+            node_of_cell = parent[node_of_cell]
+            chain.append(node_of_cell.copy())
+            # new node centers = mean of member centers
+            n_new = int(parent.max()) + 1
+            sums = np.zeros((n_new, dim))
+            cnts = np.zeros(n_new)
+            np.add.at(sums, parent, node_centers)
+            np.add.at(cnts, parent, 1.0)
+            node_centers = sums / cnts[:, None]
+        # chain[0] = leaves (level = depth), chain[-1] = root (level 0)
+        levels = chain[::-1]
+        return cls(level_assign=levels)
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.level_assign)
+
+    def n_nodes(self, level: int) -> int:
+        level = min(level, self.n_levels - 1)
+        return int(self.level_assign[level].max()) + 1
+
+    def extract_agglomerates(self, level: int) -> np.ndarray:
+        """cell2poly for the given extraction level (clamped to leaves)."""
+        level = min(level, self.n_levels - 1)
+        return self.level_assign[level].astype(np.int32)
+
+    def hierarchy(self, coarse_level: int, fine_level: int) -> np.ndarray:
+        """parent[fine_node] = coarse node id, for two tree levels.
+
+        The analogue of ``CellsAgglomerator::get_hierarchy`` (reference
+        agglomerator.h:460-471), flattened to a parent-pointer array.
+        """
+        cl = min(coarse_level, self.n_levels - 1)
+        fl = min(fine_level, self.n_levels - 1)
+        fine = self.level_assign[fl]
+        coarse = self.level_assign[cl]
+        parent = np.full(self.n_nodes(fl), -1, dtype=np.int64)
+        parent[fine] = coarse
+        return parent

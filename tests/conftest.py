@@ -1,0 +1,21 @@
+"""Test configuration: CPU backend with 8 virtual devices and float64.
+
+The 8-device virtual CPU mesh is our analogue of the reference's
+``mpirun -np N`` ctest gating (reference test/polydeal/CMakeLists.txt);
+float64 is required by the 1e-14 exactness invariants
+(reference test/polydeal/exact_solutions.cc:31).
+"""
+
+import os
+
+# must be set before jax initializes its backends
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
