@@ -1,0 +1,15 @@
+from polydeal_tpu.assembly.sipg import (
+    default_penalty_constant,
+    assemble_sipg_matrix,
+    assemble_rhs,
+    mass_matrix,
+    project,
+)
+
+__all__ = [
+    "default_penalty_constant",
+    "assemble_sipg_matrix",
+    "assemble_rhs",
+    "mass_matrix",
+    "project",
+]

@@ -209,26 +209,52 @@ class AgglomerationHandler:
         return (pts_real - lo[..., None, :]) / ext[..., None, :]
 
     def _build_volume_quadrature(self):
-        """Materialize the composite (agglomerated) quadrature.
+        """Materialize the composite (agglomerated) quadrature, cell-wise.
 
-        Padded to [n_poly, Q] with zero weights, Q = max_cells_per_poly *
-        q_per_cell.  Unit points live in each polytope's bbox.
+        TPU layout decision: the reference materializes one composite rule
+        *per polytope* (agglomerated_quadrature); we instead keep the rule
+        flat per *fine cell* — [n_cells, q] with unit points expressed in
+        the owning polytope's bbox.  Volume integrals then become a dense
+        per-cell einsum + segment-sum by ``cell2poly`` — zero padding, no
+        ragged shapes, identical mathematics (the per-polytope view is
+        still available via :attr:`vol_points` / :attr:`vol_weights`).
         """
         pts_c, jxw_c = self.mesh.volume_quadrature(self.n_quad)  # [n_c,q,d],[n_c,q]
-        q = pts_c.shape[1]
-        max_cells = self.poly2cells.shape[1]
-        gather = self.poly2cells  # [n_poly, max_cells], -1 pad
-        safe = np.maximum(gather, 0)
-        pts = pts_c[safe].reshape(self.n_poly, max_cells * q, self.dim)
-        wts = jxw_c[safe].reshape(self.n_poly, max_cells * q)
-        mask = (gather >= 0)[:, :, None].repeat(q, axis=2).reshape(self.n_poly, -1)
-        wts = np.where(mask, wts, 0.0)
-        self.vol_points_real = pts
-        self.vol_weights = wts
-        poly_idx = np.arange(self.n_poly)
-        self.vol_points = self.to_unit(poly_idx, pts)
-        # zero out padded points to keep basis eval well-conditioned
-        self.vol_points = np.where(mask[:, :, None], self.vol_points, 0.5)
+        self.cell_qpoints_real = pts_c
+        self.cell_qweights = jxw_c
+        self.cell_qpoints_unit = self.to_unit(self.cell2poly, pts_c)
+        self._vol_padded = None
+
+    def _padded_volume(self):
+        if self._vol_padded is None:
+            q = self.cell_qpoints_real.shape[1]
+            max_cells = self.poly2cells.shape[1]
+            gather = self.poly2cells
+            safe = np.maximum(gather, 0)
+            pts = self.cell_qpoints_real[safe].reshape(
+                self.n_poly, max_cells * q, self.dim)
+            unit = self.cell_qpoints_unit[safe].reshape(
+                self.n_poly, max_cells * q, self.dim)
+            wts = self.cell_qweights[safe].reshape(self.n_poly, max_cells * q)
+            mask = (gather >= 0)[:, :, None].repeat(q, axis=2).reshape(self.n_poly, -1)
+            wts = np.where(mask, wts, 0.0)
+            unit = np.where(mask[:, :, None], unit, 0.5)
+            self._vol_padded = (unit, wts, pts)
+        return self._vol_padded
+
+    @property
+    def vol_points(self):
+        """Padded per-polytope unit quadrature points [n_poly, Q, dim]."""
+        return self._padded_volume()[0]
+
+    @property
+    def vol_weights(self):
+        """Padded per-polytope JxW weights [n_poly, Q] (0 on padding)."""
+        return self._padded_volume()[1]
+
+    @property
+    def vol_points_real(self):
+        return self._padded_volume()[2]
 
     def _build_face_table(self):
         """Build the flat interface fine-face table.

@@ -1,0 +1,134 @@
+"""Block-sparse matrices with dense n_b × n_b blocks.
+
+The DG system matrix on a polytopal mesh is block-regular: every nonzero
+is an n_b×n_b dense block at (polytope row, polytope col) — diagonal
+blocks plus one block per directed polytopal interface.  This replaces the
+reference's Trilinos ``SparseMatrix`` + sparsity machinery (reference
+source/agglomeration_handler.cc:910-1022) with a structure XLA maps
+straight onto the MXU: SpMV = gather + batched small matmul + segment-sum.
+
+Block index arrays are *static* (host numpy, sorted by row at build time);
+only ``data`` is a traced device array, so jitted solvers treat the
+sparsity as compile-time constant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BlockMatrix"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BlockMatrix:
+    """Sorted block-COO matrix: data[k] sits at block (rows[k], cols[k])."""
+
+    data: jnp.ndarray  # [nnz, n_b, n_b]
+    rows: np.ndarray  # [nnz] static
+    cols: np.ndarray  # [nnz] static
+    n_block_rows: int
+    n_block_cols: int
+
+    # -- pytree plumbing (data is traced; indices are static aux) --------
+    def tree_flatten(self):
+        return (self.data,), (self.rows, self.cols, self.n_block_rows, self.n_block_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        rows, cols, nbr, nbc = aux
+        return cls(children[0], rows, cols, nbr, nbc)
+
+    # --------------------------------------------------------------------
+    @property
+    def n_basis(self) -> int:
+        return self.data.shape[-1]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n_block_rows * self.data.shape[1],
+                self.n_block_cols * self.data.shape[2])
+
+    @classmethod
+    def from_blocks(cls, rows, cols, data, n_block_rows, n_block_cols=None):
+        """Build from possibly-duplicated block entries: merges duplicates
+        and sorts by (row, col) on the host."""
+        if n_block_cols is None:
+            n_block_cols = n_block_rows
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        key = rows * n_block_cols + cols
+        uniq, inv = np.unique(key, return_inverse=True)
+        merged = jax.ops.segment_sum(jnp.asarray(data), jnp.asarray(inv),
+                                     num_segments=uniq.shape[0])
+        return cls(
+            data=merged,
+            rows=(uniq // n_block_cols).astype(np.int64),
+            cols=(uniq % n_block_cols).astype(np.int64),
+            n_block_rows=n_block_rows,
+            n_block_cols=n_block_cols,
+        )
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A @ x with x flat [n_cols] or blocked [n_block_cols, n_b]."""
+        nb_r, nb_c = self.data.shape[1], self.data.shape[2]
+        xb = x.reshape(self.n_block_cols, nb_c)
+        gathered = xb[self.cols]  # [nnz, n_b_c]
+        prod = jnp.einsum("kij,kj->ki", self.data, gathered)
+        yb = jax.ops.segment_sum(prod, self.rows, num_segments=self.n_block_rows)
+        return yb.reshape(-1) if x.ndim == 1 else yb
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def diag_blocks(self) -> jnp.ndarray:
+        """[n_block_rows, n_b, n_b] diagonal blocks (zero if absent)."""
+        mask = self.rows == self.cols
+        idx = np.where(mask)[0]
+        out = jnp.zeros((self.n_block_rows, self.data.shape[1], self.data.shape[2]),
+                        dtype=self.data.dtype)
+        return out.at[self.rows[idx]].set(self.data[idx])
+
+    def diagonal(self) -> jnp.ndarray:
+        """Flat main diagonal [n_rows]."""
+        d = self.diag_blocks()
+        return jnp.diagonal(d, axis1=1, axis2=2).reshape(-1)
+
+    def to_dense(self) -> jnp.ndarray:
+        nb_r, nb_c = self.data.shape[1], self.data.shape[2]
+        out = jnp.zeros((self.n_block_rows, nb_r, self.n_block_cols, nb_c),
+                        dtype=self.data.dtype)
+        out = out.at[self.rows, :, self.cols, :].add(self.data)
+        return out.reshape(self.n_block_rows * nb_r, self.n_block_cols * nb_c)
+
+    def transpose(self) -> "BlockMatrix":
+        order = np.lexsort((self.rows, self.cols))
+        return BlockMatrix(
+            data=jnp.swapaxes(self.data[order], 1, 2),
+            rows=self.cols[order],
+            cols=self.rows[order],
+            n_block_rows=self.n_block_cols,
+            n_block_cols=self.n_block_rows,
+        )
+
+    @property
+    def T(self) -> "BlockMatrix":
+        return self.transpose()
+
+    def scale(self, alpha) -> "BlockMatrix":
+        return BlockMatrix(self.data * alpha, self.rows, self.cols,
+                           self.n_block_rows, self.n_block_cols)
+
+    def add(self, other: "BlockMatrix") -> "BlockMatrix":
+        """Structural sum (merges sparsity patterns)."""
+        assert self.n_block_rows == other.n_block_rows
+        assert self.n_block_cols == other.n_block_cols
+        rows = np.concatenate([self.rows, other.rows])
+        cols = np.concatenate([self.cols, other.cols])
+        data = jnp.concatenate([self.data, other.data], axis=0)
+        return BlockMatrix.from_blocks(rows, cols, data,
+                                       self.n_block_rows, self.n_block_cols)

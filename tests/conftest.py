@@ -8,8 +8,10 @@ float64 is required by the 1e-14 exactness invariants
 
 import os
 
-# must be set before jax initializes its backends
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# must be set before jax initializes its backends; the driver environment
+# pre-sets JAX_PLATFORMS=axon (the tunneled TPU), so force-override here —
+# tests need the deterministic f64 CPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,4 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# the axon TPU plugin registers itself regardless of the env var; the
+# config knob reliably pins the backend
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,180 @@
+"""SIPG assembly + solve correctness (reference tiers 3-4).
+
+- sanity: the interior bilinear form annihilates linears
+  (reference poisson_sanity_check_0{1,2,3}.cc pattern)
+- exactness: linear/quadratic manufactured solutions reproduced to 1e-13
+  on distorted agglomerated grids (reference exact_solutions.cc, TOL 1e-14)
+- symmetry and convergence.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import polydeal_tpu as pd
+from polydeal_tpu.agglomeration import RTreeAgglomerator, agglomerate_by_partition
+from polydeal_tpu.assembly import (
+    assemble_sipg_matrix,
+    assemble_rhs,
+    mass_matrix,
+    project,
+)
+from polydeal_tpu.postprocess import compute_global_error
+from polydeal_tpu.solvers import cg_solve, block_jacobi_preconditioner
+
+
+def make_handler(n=4, degree=1, distort=0.0, n_agglo=4, dim=2, seed=11):
+    m0 = pd.hyper_cube(dim, n)
+    m = pd.distort_random(m0, distort, seed=seed) if distort else m0
+    c2p = agglomerate_by_partition(m0.cell_centers(), m0.neighbors, n_agglo)
+    return pd.AgglomerationHandler(m, c2p, degree=degree)
+
+
+# ---------------------------------------------------------------- sanity
+
+
+@pytest.mark.parametrize("distort", [0.0, 0.2])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_sipg_annihilates_linears(dim, distort):
+    """With boundary terms off, v^T A v = ∫|∇v|² for global linears — the
+    jump/average terms vanish identically.  Golden values match the
+    reference (poisson_sanity_check_01.output: x -> 1, x+y -> 2, 1 -> 0)."""
+    ah = make_handler(n=3, degree=1, distort=distort, n_agglo=3, dim=dim)
+    A = assemble_sipg_matrix(ah, include_boundary=False)
+    for fn, expected in (
+        (lambda x: x[..., 0], 1.0),
+        (lambda x: x[..., 0] + x[..., 1], 2.0),
+        (lambda x: jnp.ones_like(x[..., 0]), 0.0),
+    ):
+        v = project(ah, fn)
+        val = float(v @ A.matvec(v))
+        assert abs(val - expected) < 1e-12, (val, expected)
+
+
+def test_sipg_symmetric():
+    ah = make_handler(n=4, degree=2, distort=0.15, n_agglo=5)
+    A = assemble_sipg_matrix(ah).to_dense()
+    assert np.allclose(A, A.T, atol=1e-11)
+
+
+def test_sipg_spd_on_nonconstant():
+    """With boundary terms the matrix is SPD."""
+    ah = make_handler(n=4, degree=1, n_agglo=4)
+    A = np.asarray(assemble_sipg_matrix(ah).to_dense())
+    w = np.linalg.eigvalsh(A)
+    assert w.min() > 0
+
+
+# ------------------------------------------------------------- exactness
+
+
+def solve_poisson(ah, f_fn, g_fn, rtol=1e-13):
+    A = assemble_sipg_matrix(ah)
+    b = assemble_rhs(ah, f_fn, g_fn)
+    M = block_jacobi_preconditioner(A.diag_blocks())
+    res = cg_solve(A.matvec, b, M=M, rtol=rtol, maxiter=2000)
+    return res.x
+
+
+@pytest.mark.parametrize("family", ["dgp", "dgq"])
+def test_exact_linear_distorted(family):
+    """u = x + y - 1 reproduced exactly on a distorted agglomerated grid
+    (reference exact_solutions.cc 'Linear: OK')."""
+    m0 = pd.hyper_cube(2, 4)
+    m = pd.distort_random(m0, 0.2, seed=3)
+    # 4 quadrant agglomerates from the parent structure
+    centers = m0.cell_centers()
+    c2p = (centers[:, 0] > 0.5).astype(np.int32) + 2 * (centers[:, 1] > 0.5)
+    ah = pd.AgglomerationHandler(m, c2p, degree=1, family=family)
+
+    u_ex = lambda x: x[..., 0] + x[..., 1] - 1.0
+    f = lambda x: jnp.zeros_like(x[..., 0])
+    u = solve_poisson(ah, f, u_ex)
+    l2, h1 = compute_global_error(
+        ah, u, u_ex, lambda x: jnp.stack(
+            [jnp.ones_like(x[..., 0]), jnp.ones_like(x[..., 0])], axis=-1)
+    )
+    assert float(l2) < 1e-12
+    assert float(h1) < 1e-11
+
+
+def test_exact_quadratic_distorted():
+    """u = x^2 + y^2 - 1 with p=2 (reference 'Quadratic: OK')."""
+    m0 = pd.hyper_cube(2, 4)
+    m = pd.distort_random(m0, 0.2, seed=3)
+    centers = m0.cell_centers()
+    c2p = (centers[:, 0] > 0.5).astype(np.int32) + 2 * (centers[:, 1] > 0.5)
+    ah = pd.AgglomerationHandler(m, c2p, degree=2)
+
+    u_ex = lambda x: x[..., 0] ** 2 + x[..., 1] ** 2 - 1.0
+    f = lambda x: -4.0 * jnp.ones_like(x[..., 0])  # -Δu = f
+    u = solve_poisson(ah, f, u_ex)
+    l2, h1 = compute_global_error(
+        ah, u, u_ex, lambda x: 2.0 * x
+    )
+    assert float(l2) < 1e-11
+    assert float(h1) < 1e-10
+
+
+def test_exact_linear_3d_rtree():
+    m = pd.hyper_cube(3, 4)
+    agg = RTreeAgglomerator.build(m.cell_centers())
+    ah = pd.AgglomerationHandler(m, agg.extract_agglomerates(1), degree=1)
+    u_ex = lambda x: 2 * x[..., 0] - x[..., 1] + 0.5 * x[..., 2]
+    f = lambda x: jnp.zeros_like(x[..., 0])
+    u = solve_poisson(ah, f, u_ex)
+    l2, _ = compute_global_error(ah, u, u_ex)
+    assert float(l2) < 1e-11
+
+
+# ------------------------------------------------------------ convergence
+
+
+def test_convergence_rates_p2():
+    """O(h^{p+1}) in L2 on the product-sine problem with R-tree
+    agglomerates of 4 cells (reference examples/poisson.cc convergence
+    study).  p=2 reaches the asymptotic regime on small grids; observed
+    rate is ~3.2 at these sizes."""
+    u_ex = lambda x: jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
+    f = lambda x: 2 * jnp.pi**2 * u_ex(x)
+    errs = []
+    for n in (8, 16):
+        m = pd.hyper_cube(2, n)
+        agg = RTreeAgglomerator.build(m.cell_centers())
+        # agglomerates of 4 cells
+        lvl = agg.n_levels - 2
+        ah = pd.AgglomerationHandler(m, agg.extract_agglomerates(lvl), degree=2)
+        u = solve_poisson(ah, f, u_ex, rtol=1e-12)
+        l2, _ = compute_global_error(ah, u, u_ex)
+        errs.append(float(l2))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 2.7, (errs, rate)
+    assert errs[1] < 2e-3
+
+
+# ------------------------------------------------------------- utilities
+
+
+def test_mass_matrix_and_projection():
+    ah = make_handler(n=4, degree=2, distort=0.1, n_agglo=4)
+    M = mass_matrix(ah)
+    # total mass = domain measure
+    ones = project(ah, lambda x: jnp.ones_like(x[..., 0]))
+    assert abs(float(ones @ M.matvec(ones)) - 1.0) < 1e-12
+    # projection of a quadratic is exact pointwise
+    fn = lambda x: x[..., 0] * x[..., 1] + 0.3 * x[..., 1] ** 2
+    u = project(ah, fn)
+    l2, _ = compute_global_error(ah, u, fn)
+    assert float(l2) < 1e-13
+
+
+def test_blockmatrix_roundtrip():
+    ah = make_handler(n=4, degree=1, n_agglo=4)
+    A = assemble_sipg_matrix(ah)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=ah.n_dofs))
+    y1 = A.matvec(x)
+    y2 = A.to_dense() @ x
+    assert np.allclose(y1, y2, atol=1e-12)
+    # transpose of symmetric matrix
+    y3 = A.T.matvec(x)
+    assert np.allclose(y1, y3, atol=1e-12)
