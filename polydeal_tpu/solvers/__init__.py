@@ -1,3 +1,23 @@
 from polydeal_tpu.solvers.cg import cg_solve, block_jacobi_preconditioner
+from polydeal_tpu.solvers.chebyshev import ChebyshevSmoother, estimate_lambda_max
+from polydeal_tpu.solvers.multigrid import (
+    Multigrid,
+    Transfer,
+    build_embedding,
+    build_multigrid,
+    build_rtree_hierarchy,
+    galerkin_coarsen,
+)
 
-__all__ = ["cg_solve", "block_jacobi_preconditioner"]
+__all__ = [
+    "cg_solve",
+    "block_jacobi_preconditioner",
+    "ChebyshevSmoother",
+    "estimate_lambda_max",
+    "Multigrid",
+    "Transfer",
+    "build_embedding",
+    "build_multigrid",
+    "build_rtree_hierarchy",
+    "galerkin_coarsen",
+]

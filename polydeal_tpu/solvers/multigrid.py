@@ -1,0 +1,294 @@
+"""Polytopal (agglomerated) multigrid — the R3MG method, TPU-native.
+
+Rebuild of the reference's multilevel stack (reference
+include/multigrid_amg.h, include/utils.h:95-270, source/multigrid_amg.cc,
+examples/agglo_amg.cc:1089-1414) with the pointer/Trilinos machinery
+replaced by three array facts:
+
+1. **Transfers are block-diagonal-by-parent.**  Every fine polytope has
+   exactly one coarse parent (the R-tree hierarchy), so the injection
+   matrix P of the reference (``Utils::fill_injection_matrix``,
+   utils.h:95-270) is one dense n_b×n_b block per fine polytope:
+   prolongation = gather(parent) + batched matmul; restriction =
+   batched matmulᵀ + segment-sum.  No sparse matrix needed.
+
+2. **Embeddings are exact.**  A coarse-bbox polynomial restricted to a
+   child bbox is still a degree-p polynomial (affine∘affine), so the
+   block E_c solves M_ref E_c = R_c with R_c computed by Gauss quadrature
+   — exact, and the identity M_ref = I holds for the orthonormal modal
+   basis.  This also covers the reference's "last embedding" to the
+   background DG space (poly_utils.h:1469-1634): the finest level is just
+   the trivial agglomeration (one cell per polytope).
+
+3. **Galerkin products collapse to segment-sums.**  A_c(I,J) =
+   Σ_{parent(i)=I, parent(j)=J} E_iᵀ A_ij E_j — a batched triple matmul
+   over the fine level's nonzero blocks merged by parent pair, replacing
+   the reference's Trilinos mmult/Tmmult chains
+   (multigrid_amg.h:274-305).
+
+The V-cycle (Chebyshev pre/post smoothing, dense LU coarse solve) is one
+jitted function; CG preconditioned with it is the flagship solve
+(examples/agglo_amg.cc:1408-1414).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polydeal_tpu.fem.quadrature import tensor_gauss
+from polydeal_tpu.handler import AgglomerationHandler
+from polydeal_tpu.sparse import BlockMatrix
+from polydeal_tpu.solvers.chebyshev import ChebyshevSmoother, estimate_lambda_max
+from polydeal_tpu.solvers.cg import cg_solve, CGResult
+
+__all__ = [
+    "build_embedding",
+    "galerkin_coarsen",
+    "Transfer",
+    "Multigrid",
+    "build_rtree_hierarchy",
+]
+
+
+def build_embedding(
+    coarse: AgglomerationHandler,
+    fine: AgglomerationHandler,
+    parent: np.ndarray,
+    dtype=jnp.float64,
+) -> jnp.ndarray:
+    """E [n_fine_poly, n_b, n_b]: coefficients of each coarse basis
+    function expressed in the child's basis (exact polynomial embedding).
+
+    prolong: u_f[c] = E[c] @ u_c[parent[c]].
+    """
+    basis = fine.basis
+    nb = basis.n_basis
+    pts, wts = tensor_gauss(fine.dim, fine.degree + 1)
+    pts = jnp.asarray(pts, dtype=dtype)
+    wts = jnp.asarray(wts, dtype=dtype)
+
+    # affine child-unit -> parent-unit map
+    s = jnp.asarray(fine.extents[np.arange(fine.n_poly)]
+                    / coarse.extents[parent], dtype=dtype)  # [Pf, dim]
+    o = jnp.asarray((fine.bbox_lo - coarse.bbox_lo[parent])
+                    / coarse.extents[parent], dtype=dtype)
+    parent_pts = o[:, None, :] + s[:, None, :] * pts[None, :, :]  # [Pf, Q, dim]
+
+    B_child = basis.eval(pts).astype(dtype)  # [Q, nb]
+    B_par = basis.eval(parent_pts).astype(dtype)  # [Pf, Q, nb]
+
+    # reference-cell mass matrix of the child basis (identity for modal)
+    M = jnp.einsum("qi,qk,q->ik", B_child, B_child, wts)
+    R = jnp.einsum("qi,pqj,q->pij", B_child, B_par, wts)
+    E = jnp.linalg.solve(M[None, :, :], R)
+    return E
+
+
+def galerkin_coarsen(
+    A_fine: BlockMatrix, E: jnp.ndarray, parent: np.ndarray, n_coarse: int
+) -> BlockMatrix:
+    """A_c = Pᵀ A_f P via the one-parent-per-row structure of P."""
+    rows_c = parent[A_fine.rows]
+    cols_c = parent[A_fine.cols]
+    data_c = jnp.einsum(
+        "kia,kij,kjb->kab", E[A_fine.rows], A_fine.data, E[A_fine.cols]
+    )
+    return BlockMatrix.from_blocks(rows_c, cols_c, data_c, n_coarse)
+
+
+@dataclass
+class Transfer:
+    """Two-level transfer: fine polytopes -> coarse parents."""
+
+    E: jnp.ndarray  # [P_f, nb, nb]
+    parent: np.ndarray  # [P_f] static
+    n_coarse: int
+
+    def prolong(self, u_c: jnp.ndarray) -> jnp.ndarray:
+        nb = self.E.shape[-1]
+        uc = u_c.reshape(self.n_coarse, nb)
+        uf = jnp.einsum("pij,pj->pi", self.E, uc[jnp.asarray(self.parent)])
+        return uf.reshape(-1)
+
+    def restrict(self, r_f: jnp.ndarray) -> jnp.ndarray:
+        nb = self.E.shape[-1]
+        rf = r_f.reshape(-1, nb)
+        contrib = jnp.einsum("pij,pi->pj", self.E, rf)
+        rc = jax.ops.segment_sum(
+            contrib, jnp.asarray(self.parent), num_segments=self.n_coarse
+        )
+        return rc.reshape(-1)
+
+
+def build_rtree_hierarchy(
+    mesh,
+    rtree,
+    extraction_levels: list[int],
+    degree: int = 1,
+    family: str = "dgp",
+    include_fine_dg: bool = True,
+    n_quad: int | None = None,
+):
+    """Handlers + parent maps for a chain of R-tree extraction levels.
+
+    The analogue of ``PolyUtils::construct_agglomerated_levels`` (reference
+    poly_utils.h:1761-1862).  ``extraction_levels`` is coarse-to-fine; when
+    ``include_fine_dg`` the trivial agglomeration (one cell per polytope)
+    is appended as the finest level, subsuming the reference's
+    fill_interpolation_matrix embedding into the background DG space.
+
+    Returns (handlers, parents): parents[l] maps level-(l+1) polytopes to
+    level-l polytopes.
+    """
+    levels = sorted(extraction_levels)
+    c2ps = [rtree.extract_agglomerates(l) for l in levels]
+    if include_fine_dg:
+        c2ps.append(np.arange(mesh.n_cells, dtype=np.int32))
+    handlers = [
+        AgglomerationHandler(mesh, c2p, degree=degree, family=family, n_quad=n_quad)
+        for c2p in c2ps
+    ]
+    parents = []
+    for l in range(len(c2ps) - 1):
+        fine_c2p, coarse_c2p = c2ps[l + 1], c2ps[l]
+        n_f = int(fine_c2p.max()) + 1
+        parent = np.full(n_f, -1, dtype=np.int64)
+        parent[fine_c2p] = coarse_c2p  # every cell agrees: nested hierarchy
+        assert (parent >= 0).all()
+        parents.append(parent)
+    return handlers, parents
+
+
+@dataclass
+class Multigrid:
+    """V-cycle over Galerkin-coarsened block matrices.
+
+    levels[0] is the coarsest.  Mirrors the reference's flagship solver
+    composition (agglo_amg.cc:1278-1414): Chebyshev(degree)+point-Jacobi
+    smoothers on every level, a direct solve at the bottom
+    (Utils::MGCoarseDirect -> dense LU here), wrapped as a preconditioner
+    for CG.
+    """
+
+    matrices: list  # list[BlockMatrix], coarse -> fine
+    transfers: list  # list[Transfer], transfers[l]: level l <- l+1
+    smoothers: list = field(default_factory=list)
+    n_smooth: int = 5
+    coarse_lu: tuple | None = None
+
+    @classmethod
+    def setup(
+        cls,
+        matrices: list,
+        transfers: list,
+        chebyshev_degree: int = 3,
+        n_smooth: int = 5,
+        smoothing_range: float = 15.0,
+    ) -> "Multigrid":
+        smoothers = [None]
+        for A in matrices[1:]:
+            diag = A.diagonal()
+            inv = 1.0 / diag
+            Minv = lambda r, inv=inv: inv * r
+            lam = estimate_lambda_max(A.matvec, Minv, A.shape[0], iters=25,
+                                      dtype=A.data.dtype)
+            smoothers.append(
+                ChebyshevSmoother(
+                    A=A.matvec,
+                    Minv=Minv,
+                    lo=lam / smoothing_range,
+                    hi=1.2 * lam,
+                    degree=chebyshev_degree,
+                )
+            )
+        dense = matrices[0].to_dense()
+        coarse_lu = jax.scipy.linalg.lu_factor(dense)
+        return cls(
+            matrices=matrices,
+            transfers=transfers,
+            smoothers=smoothers,
+            n_smooth=n_smooth,
+            coarse_lu=coarse_lu,
+        )
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.matrices)
+
+    def _cycle(self, level: int, b: jnp.ndarray) -> jnp.ndarray:
+        if level == 0:
+            return jax.scipy.linalg.lu_solve(self.coarse_lu, b)
+        A = self.matrices[level]
+        sm = self.smoothers[level]
+        x = jnp.zeros_like(b)
+        for _ in range(self.n_smooth):
+            x = sm(b, x)
+        r = b - A.matvec(x)
+        t = self.transfers[level - 1]
+        xc = self._cycle(level - 1, t.restrict(r))
+        x = x + t.prolong(xc)
+        for _ in range(self.n_smooth):
+            x = sm(b, x)
+        return x
+
+    def v_cycle(self, b: jnp.ndarray) -> jnp.ndarray:
+        """One V-cycle on the finest level (use as CG preconditioner)."""
+        return self._cycle(self.n_levels - 1, b)
+
+    def solve_cg(self, b: jnp.ndarray, rtol: float = 1e-9,
+                 maxiter: int = 200) -> CGResult:
+        A = self.matrices[-1]
+        return cg_solve(A.matvec, b, M=self.v_cycle, rtol=rtol, maxiter=maxiter)
+
+
+def build_multigrid(
+    handlers: list,
+    parents: list,
+    A_fine: BlockMatrix,
+    chebyshev_degree: int = 3,
+    n_smooth: int = 5,
+    smoothing_range: float = 20.0,
+    mode: str = "direct",
+    dtype=jnp.float64,
+) -> Multigrid:
+    """Assemble the full MG preconditioner from a handler chain and the
+    finest-level matrix.
+
+    mode='galerkin' coarsens A_fine algebraically (A_l = Pᵀ A_{l+1} P),
+    the reference's AmgProjector scheme (multigrid_amg.h:274-305) — an
+    *inherited* bilinear form whose coarse penalty stays at the fine-mesh
+    scale, giving mildly level-dependent convergence.
+
+    mode='direct' (default) re-assembles SIPG on every polytopal level so
+    the penalty scales with the coarse h — the *non-inherited* form with
+    near level-independent iteration counts (measured here: 7/11/14/16
+    iters over 3-6 levels vs 7/13/21+ inherited).  The reference cannot do
+    this cheaply because each level assembly walks FEValues; for us it is
+    the same batched einsum per level.
+    """
+    transfers = []
+    for l in range(len(handlers) - 1):
+        E = build_embedding(handlers[l], handlers[l + 1], parents[l], dtype=dtype)
+        transfers.append(Transfer(E=E, parent=parents[l],
+                                  n_coarse=handlers[l].n_poly))
+    if mode == "galerkin":
+        matrices = [A_fine]
+        for t in reversed(transfers):
+            matrices.insert(0, galerkin_coarsen(matrices[0], t.E, t.parent,
+                                                t.n_coarse))
+    elif mode == "direct":
+        from polydeal_tpu.assembly.sipg import assemble_sipg_matrix
+
+        matrices = [assemble_sipg_matrix(h, dtype=dtype) for h in handlers[:-1]]
+        matrices.append(A_fine)
+    else:
+        raise ValueError(f"unknown multigrid mode: {mode}")
+    return Multigrid.setup(matrices, transfers,
+                           chebyshev_degree=chebyshev_degree,
+                           n_smooth=n_smooth, smoothing_range=smoothing_range)
