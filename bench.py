@@ -1,0 +1,96 @@
+"""TPU benchmark: 3D SIPG Poisson, assemble + MG-CG solve — DoF/s.
+
+North-star configuration (BASELINE.md): 3D SIPG Poisson on an
+agglomerated hex grid (R-tree agglomerates of 8 cells), assembled and
+solved with R3MG-preconditioned CG.  Metric: DoF/s over assembly+solve.
+
+vs_baseline is measured against the performance gate of 10× single-node
+deal.II throughput: deal.II matrix-based 3D SIPG assembly + AMG-CG on a
+single node runs at ~2e5 DoF/s (order-of-magnitude from the reference's
+own instrumentation style runs), so the gate is 2e6 DoF/s and
+vs_baseline = dof_per_s / 2e6.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "64"))  # fine cells per direction
+    degree = int(os.environ.get("BENCH_DEGREE", "1"))
+    rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
+
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float32
+
+    import polydeal_tpu as pd
+    from polydeal_tpu.agglomeration import RTreeAgglomerator
+    from polydeal_tpu.assembly import (
+        assemble_sipg_matrix,
+        assemble_rhs,
+        build_volume_tables,
+        build_face_tables,
+    )
+    from polydeal_tpu.solvers import build_multigrid, build_rtree_hierarchy
+
+    mesh = pd.hyper_cube(3, n)
+    agg = RTreeAgglomerator.build(mesh.cell_centers())
+    levels = list(range(1, agg.n_levels - 1))
+    handlers, parents = build_rtree_hierarchy(mesh, agg, levels, degree=degree)
+    ah = handlers[-1]
+
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    f = lambda x: 3 * jnp.pi**2 * u_ex(x)
+
+    # setup: shape tables + MG preconditioner (reusable across rhs/steps,
+    # like the reference's setup_multigrid)
+    vol = build_volume_tables(ah, dtype)
+    faces = build_face_tables(ah, dtype)
+    A0 = assemble_sipg_matrix(ah, dtype=dtype, vol=vol, faces=faces)
+    mg = build_multigrid(handlers, parents, A0, dtype=dtype)
+
+    # the hot path — assembly + MG-CG solve — as ONE jitted program
+    @jax.jit
+    def assemble_and_solve(vol, faces):
+        A = assemble_sipg_matrix(ah, dtype=dtype, vol=vol, faces=faces)
+        b = assemble_rhs(ah, f, u_ex, dtype=dtype, vol=vol, faces=faces)
+        mg.matrices[-1] = A
+        res = mg.solve_cg(b, rtol=rtol, maxiter=100)
+        return res
+
+    res = assemble_and_solve(vol, faces)  # compile + warm-up
+    jax.block_until_ready(res.x)
+
+    t0 = time.perf_counter()
+    res = assemble_and_solve(vol, faces)
+    jax.block_until_ready(res.x)
+    elapsed = time.perf_counter() - t0
+
+    dof_per_s = ah.n_dofs / elapsed
+    out = {
+        "metric": "sipg3d_assemble_solve_dof_per_s",
+        "value": round(dof_per_s, 1),
+        "unit": "DoF/s",
+        "vs_baseline": round(dof_per_s / 2e6, 3),
+        "detail": {
+            "n_cells": mesh.n_cells,
+            "n_dofs": ah.n_dofs,
+            "degree": degree,
+            "iterations": int(res.iterations),
+            "residual": float(res.residual),
+            "rtol": rtol,
+            "elapsed_s": round(elapsed, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,6 +4,10 @@ from polydeal_tpu.assembly.sipg import (
     assemble_rhs,
     mass_matrix,
     project,
+    build_volume_tables,
+    build_face_tables,
+    VolumeTables,
+    FaceTables,
 )
 
 __all__ = [
@@ -12,4 +16,8 @@ __all__ = [
     "assemble_rhs",
     "mass_matrix",
     "project",
+    "build_volume_tables",
+    "build_face_tables",
+    "VolumeTables",
+    "FaceTables",
 ]

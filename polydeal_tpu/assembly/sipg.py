@@ -48,6 +48,7 @@ def default_penalty_constant(degree: int, dim: int) -> float:
     return 10.0 * (degree + dim) * (degree + 1)
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class VolumeTables:
     """Dense per-fine-cell shape tables in the owning polytope's basis."""
@@ -58,7 +59,19 @@ class VolumeTables:
     x: jnp.ndarray  # [n_c, q, dim] real points
     cell2poly: np.ndarray  # [n_c] static
 
+    def tree_flatten(self):
+        from polydeal_tpu.utils.static import wrap_static
 
+        return (self.B, self.G, self.w, self.x), (wrap_static(self.cell2poly),)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        from polydeal_tpu.utils.static import unwrap_static
+
+        return cls(*children, unwrap_static(aux[0]))
+
+
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class FaceTables:
     """Shape tables at interface quadrature points.
@@ -77,6 +90,21 @@ class FaceTables:
     h_f: jnp.ndarray  # [n_f]
     poly_in: np.ndarray  # static
     poly_out: np.ndarray | None  # static
+
+    def tree_flatten(self):
+        from polydeal_tpu.utils.static import wrap_static
+
+        return (
+            (self.B0, self.G0, self.B1, self.G1, self.w, self.n, self.x,
+             self.h_f),
+            (wrap_static(self.poly_in), wrap_static(self.poly_out)),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        from polydeal_tpu.utils.static import unwrap_static
+
+        return cls(*children, unwrap_static(aux[0]), unwrap_static(aux[1]))
 
 
 def build_volume_tables(ah: AgglomerationHandler, dtype=jnp.float64) -> VolumeTables:

@@ -104,11 +104,31 @@ def galerkin_coarsen(
 
 @dataclass
 class Transfer:
-    """Two-level transfer: fine polytopes -> coarse parents."""
+    """Two-level transfer: fine polytopes -> coarse parents.
+
+    Restriction is scatter-free: a padded children gather map (children of
+    one parent are consecutive under the STR ordering, so padding is nil
+    for uniform fanout) — scatters are pathologically slow on TPU.
+    """
 
     E: jnp.ndarray  # [P_f, nb, nb]
     parent: np.ndarray  # [P_f] static
     n_coarse: int
+    children: np.ndarray = None  # [P_c, C] static, -1 padded
+    _cmask: np.ndarray = None
+
+    def __post_init__(self):
+        if self.children is None:
+            parent = np.asarray(self.parent)
+            counts = np.bincount(parent, minlength=self.n_coarse)
+            C = int(counts.max()) if counts.size else 1
+            ch = np.full((self.n_coarse, C), -1, dtype=np.int64)
+            order = np.argsort(parent, kind="stable")
+            pos = np.concatenate([[0], np.cumsum(counts)])
+            for p in range(self.n_coarse):
+                ch[p, : counts[p]] = order[pos[p] : pos[p + 1]]
+            self.children = ch
+            self._cmask = (ch >= 0).astype(np.float64)
 
     def prolong(self, u_c: jnp.ndarray) -> jnp.ndarray:
         nb = self.E.shape[-1]
@@ -119,10 +139,10 @@ class Transfer:
     def restrict(self, r_f: jnp.ndarray) -> jnp.ndarray:
         nb = self.E.shape[-1]
         rf = r_f.reshape(-1, nb)
-        contrib = jnp.einsum("pij,pi->pj", self.E, rf)
-        rc = jax.ops.segment_sum(
-            contrib, jnp.asarray(self.parent), num_segments=self.n_coarse
-        )
+        contrib = jnp.einsum("pij,pi->pj", self.E, rf)  # [P_f, nb]
+        ch = np.maximum(self.children, 0)
+        mask = jnp.asarray(self._cmask, dtype=contrib.dtype)
+        rc = jnp.einsum("pc,pcj->pj", mask, contrib[ch])
         return rc.reshape(-1)
 
 
@@ -181,6 +201,7 @@ class Multigrid:
     smoothers: list = field(default_factory=list)
     n_smooth: int = 5
     coarse_lu: tuple | None = None
+    ells: list = field(default_factory=list)  # BlockELL per level (hot SpMV)
 
     @classmethod
     def setup(
@@ -191,30 +212,47 @@ class Multigrid:
         n_smooth: int = 5,
         smoothing_range: float = 15.0,
     ) -> "Multigrid":
+        # single jitted program for the whole numeric setup: block-ELL
+        # conversion (the scatter-free TPU SpMV layout — measured 28x
+        # faster than segment-sum on v5e), eigenvalue estimates on every
+        # level and the coarse LU factorization.  One compile instead of
+        # one per level (axon TPU compiles are ~30s).
+        @jax.jit
+        def _numeric_setup(mats):
+            ells = [A.to_ell() for A in mats]
+            lams = []
+            for Ae in ells[1:]:
+                inv = 1.0 / Ae.diagonal()
+                lams.append(
+                    estimate_lambda_max(
+                        Ae.matvec, lambda r: inv * r, Ae.shape[0], iters=25,
+                        dtype=Ae.data.dtype,
+                    )
+                )
+            lu = jax.scipy.linalg.lu_factor(mats[0].to_dense())
+            return ells, lams, lu
+
+        ells, lams, coarse_lu = _numeric_setup(matrices)
         smoothers = [None]
-        for A in matrices[1:]:
-            diag = A.diagonal()
-            inv = 1.0 / diag
+        for Ae, lam in zip(ells[1:], lams):
+            inv = 1.0 / Ae.diagonal()
             Minv = lambda r, inv=inv: inv * r
-            lam = estimate_lambda_max(A.matvec, Minv, A.shape[0], iters=25,
-                                      dtype=A.data.dtype)
             smoothers.append(
                 ChebyshevSmoother(
-                    A=A.matvec,
+                    A=Ae.matvec,
                     Minv=Minv,
                     lo=lam / smoothing_range,
                     hi=1.2 * lam,
                     degree=chebyshev_degree,
                 )
             )
-        dense = matrices[0].to_dense()
-        coarse_lu = jax.scipy.linalg.lu_factor(dense)
         return cls(
             matrices=matrices,
             transfers=transfers,
             smoothers=smoothers,
             n_smooth=n_smooth,
             coarse_lu=coarse_lu,
+            ells=ells,
         )
 
     @property
@@ -224,7 +262,7 @@ class Multigrid:
     def _cycle(self, level: int, b: jnp.ndarray) -> jnp.ndarray:
         if level == 0:
             return jax.scipy.linalg.lu_solve(self.coarse_lu, b)
-        A = self.matrices[level]
+        A = self.ells[level]
         sm = self.smoothers[level]
         x = jnp.zeros_like(b)
         for _ in range(self.n_smooth):
@@ -243,7 +281,7 @@ class Multigrid:
 
     def solve_cg(self, b: jnp.ndarray, rtol: float = 1e-9,
                  maxiter: int = 200) -> CGResult:
-        A = self.matrices[-1]
+        A = self.ells[-1]
         return cg_solve(A.matvec, b, M=self.v_cycle, rtol=rtol, maxiter=maxiter)
 
 
@@ -272,23 +310,57 @@ def build_multigrid(
     this cheaply because each level assembly walks FEValues; for us it is
     the same batched einsum per level.
     """
-    transfers = []
-    for l in range(len(handlers) - 1):
-        E = build_embedding(handlers[l], handlers[l + 1], parents[l], dtype=dtype)
-        transfers.append(Transfer(E=E, parent=parents[l],
-                                  n_coarse=handlers[l].n_poly))
-    if mode == "galerkin":
-        matrices = [A_fine]
-        for t in reversed(transfers):
-            matrices.insert(0, galerkin_coarsen(matrices[0], t.E, t.parent,
-                                                t.n_coarse))
-    elif mode == "direct":
-        from polydeal_tpu.assembly.sipg import assemble_sipg_matrix
+    from polydeal_tpu.assembly.sipg import (
+        assemble_sipg_matrix,
+        build_volume_tables,
+        build_face_tables,
+    )
 
-        matrices = [assemble_sipg_matrix(h, dtype=dtype) for h in handlers[:-1]]
-        matrices.append(A_fine)
+    if mode == "direct":
+        # one jitted program builds every coarse-level matrix and all
+        # embeddings; per-level quadrature tables come in as arguments so
+        # they aren't baked into the executable as constants
+        tables = [
+            (build_volume_tables(h, dtype), build_face_tables(h, dtype))
+            for h in handlers[:-1]
+        ]
+
+        @jax.jit
+        def _build(tabs, Af):
+            mats = [
+                assemble_sipg_matrix(h, dtype=dtype, vol=v, faces=fc)
+                for h, (v, fc) in zip(handlers[:-1], tabs)
+            ] + [Af]
+            Es = [
+                build_embedding(handlers[l], handlers[l + 1], parents[l],
+                                dtype=dtype)
+                for l in range(len(handlers) - 1)
+            ]
+            return mats, Es
+
+        matrices, Es = _build(tables, A_fine)
+    elif mode == "galerkin":
+
+        @jax.jit
+        def _build(Af):
+            Es = [
+                build_embedding(handlers[l], handlers[l + 1], parents[l],
+                                dtype=dtype)
+                for l in range(len(handlers) - 1)
+            ]
+            mats = [Af]
+            for l in range(len(handlers) - 2, -1, -1):
+                mats.insert(0, galerkin_coarsen(mats[0], Es[l], parents[l],
+                                                handlers[l].n_poly))
+            return mats, Es
+
+        matrices, Es = _build(A_fine)
     else:
         raise ValueError(f"unknown multigrid mode: {mode}")
+    transfers = [
+        Transfer(E=Es[l], parent=parents[l], n_coarse=handlers[l].n_poly)
+        for l in range(len(handlers) - 1)
+    ]
     return Multigrid.setup(matrices, transfers,
                            chebyshev_degree=chebyshev_degree,
                            n_smooth=n_smooth, smoothing_range=smoothing_range)

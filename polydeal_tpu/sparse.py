@@ -36,12 +36,21 @@ class BlockMatrix:
 
     # -- pytree plumbing (data is traced; indices are static aux) --------
     def tree_flatten(self):
-        return (self.data,), (self.rows, self.cols, self.n_block_rows, self.n_block_cols)
+        from polydeal_tpu.utils.static import wrap_static
+
+        return (self.data,), (
+            wrap_static(self.rows),
+            wrap_static(self.cols),
+            self.n_block_rows,
+            self.n_block_cols,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        from polydeal_tpu.utils.static import unwrap_static
+
         rows, cols, nbr, nbc = aux
-        return cls(children[0], rows, cols, nbr, nbc)
+        return cls(children[0], unwrap_static(rows), unwrap_static(cols), nbr, nbc)
 
     # --------------------------------------------------------------------
     @property
@@ -123,6 +132,27 @@ class BlockMatrix:
         return BlockMatrix(self.data * alpha, self.rows, self.cols,
                            self.n_block_rows, self.n_block_cols)
 
+    def to_ell(self) -> "BlockELL":
+        """Convert to block-ELL (fixed nonzeros per row).
+
+        TPU-native SpMV layout: scatter-free.  DG flux sparsity is
+        near-regular (diagonal + one block per polytopal neighbor), so row
+        padding is small (pad blocks are zero, pointing at column 0).
+        """
+        counts = np.bincount(self.rows, minlength=self.n_block_rows)
+        K = int(counts.max()) if counts.size else 1
+        nb_r, nb_c = self.data.shape[1], self.data.shape[2]
+        # position of each entry within its row (rows are sorted)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        pos = np.arange(self.rows.shape[0]) - starts[self.rows]
+        cols = np.zeros((self.n_block_rows, K), dtype=np.int32)
+        cols[self.rows, pos] = self.cols
+        data = jnp.zeros((self.n_block_rows, K, nb_r, nb_c),
+                         dtype=self.data.dtype)
+        data = data.at[self.rows, pos].set(self.data)
+        return BlockELL(data=data, cols=cols,
+                        n_block_cols=self.n_block_cols)
+
     def add(self, other: "BlockMatrix") -> "BlockMatrix":
         """Structural sum (merges sparsity patterns)."""
         assert self.n_block_rows == other.n_block_rows
@@ -132,3 +162,57 @@ class BlockMatrix:
         data = jnp.concatenate([self.data, other.data], axis=0)
         return BlockMatrix.from_blocks(rows, cols, data,
                                        self.n_block_rows, self.n_block_cols)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BlockELL:
+    """Block-ELL matrix: every row holds exactly K n_b×n_b blocks.
+
+    The scatter-free SpMV layout for TPU: y = einsum over a gathered
+    [P, K, n_b] window of x — all dense, fully fused by XLA, no
+    segment/scatter ops in the hot loop.  Padding blocks are zero and
+    point at column 0.
+    """
+
+    data: jnp.ndarray  # [P, K, n_b, n_b]
+    cols: np.ndarray  # [P, K] static int32
+    n_block_cols: int
+
+    def tree_flatten(self):
+        from polydeal_tpu.utils.static import wrap_static
+
+        return (self.data,), (wrap_static(self.cols), self.n_block_cols)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        from polydeal_tpu.utils.static import unwrap_static
+
+        return cls(children[0], unwrap_static(aux[0]), aux[1])
+
+    @property
+    def n_block_rows(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def shape(self):
+        return (self.data.shape[0] * self.data.shape[2],
+                self.n_block_cols * self.data.shape[3])
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        nb_c = self.data.shape[3]
+        xb = x.reshape(self.n_block_cols, nb_c)
+        xg = xb[self.cols]  # [P, K, nb_c]
+        yb = jnp.einsum("pkij,pkj->pi", self.data, xg)
+        return yb.reshape(-1) if x.ndim == 1 else yb
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def diagonal(self) -> jnp.ndarray:
+        P, K = self.cols.shape
+        rows = np.arange(P)[:, None]
+        is_diag = self.cols == rows  # [P, K]
+        d = jnp.einsum("pk,pkii->pi", jnp.asarray(is_diag, self.data.dtype),
+                       self.data)
+        return d.reshape(-1)

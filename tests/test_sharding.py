@@ -1,0 +1,90 @@
+"""Multi-device SPMD tests on the 8-device virtual CPU mesh — the
+analogue of the reference's mpirun=2/3 ctest tier (SURVEY §4 tiers 3-5).
+Key invariant: results are independent of device count."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import polydeal_tpu as pd
+from polydeal_tpu.agglomeration import RTreeAgglomerator
+from polydeal_tpu.assembly import assemble_sipg_matrix, assemble_rhs
+from polydeal_tpu.parallel import make_mesh, ShardedSystem, shard_block_matrix
+from polydeal_tpu.postprocess import compute_global_error
+from polydeal_tpu.solvers import build_multigrid, build_rtree_hierarchy
+
+
+def setup_problem(n=16, degree=1):
+    m0 = pd.hyper_cube(2, n)
+    agg = RTreeAgglomerator.build(m0.cell_centers())
+    handlers, parents = build_rtree_hierarchy(
+        m0, agg, list(range(1, agg.n_levels - 1)), degree=degree
+    )
+    hf = handlers[-1]
+    A = assemble_sipg_matrix(hf)
+    u_ex = lambda x: jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
+    b = assemble_rhs(hf, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    mg = build_multigrid(handlers, parents, A)
+    return hf, A, b, mg, u_ex
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sharded_matvec_matches(n_dev):
+    hf, A, b, mg, _ = setup_problem(n=8)
+    mesh = make_mesh(n_dev)
+    ss = ShardedSystem.from_multigrid(mg, mesh)
+    # unpreconditioned CG through the sharded path vs host CG
+    x_s, k_s, res_s = ss.solve_cg(b, rtol=1e-10, maxiter=3000,
+                                  precondition=False)
+    from polydeal_tpu.solvers import cg_solve
+
+    res_h = cg_solve(A.matvec, b, rtol=1e-10, maxiter=3000)
+    assert np.allclose(np.asarray(x_s), np.asarray(res_h.x), atol=1e-8)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_mg_cg_device_count_invariant(n_dev):
+    """MG-CG over the mesh: same iterations and same solution as 1 device
+    (the reference's 'identical errors regardless of rank count')."""
+    hf, A, b, mg, u_ex = setup_problem(n=16)
+    x1, k1, _ = ShardedSystem.from_multigrid(mg, make_mesh(1)).solve_cg(b)
+    xn, kn, _ = ShardedSystem.from_multigrid(mg, make_mesh(n_dev)).solve_cg(b)
+    assert k1 == kn
+    assert np.allclose(np.asarray(x1), np.asarray(xn), atol=1e-9)
+    l2, _ = compute_global_error(hf, jnp.asarray(xn), u_ex)
+    assert float(l2) < 0.06
+
+
+def test_sharded_mg_matches_host_mg():
+    hf, A, b, mg, _ = setup_problem(n=16)
+    res_host = mg.solve_cg(b, rtol=1e-9)
+    x_s, k_s, _ = ShardedSystem.from_multigrid(mg, make_mesh(8)).solve_cg(
+        b, rtol=1e-9
+    )
+    assert abs(int(res_host.iterations) - k_s) <= 1
+    assert np.allclose(np.asarray(res_host.x), np.asarray(x_s), atol=1e-8)
+
+
+def test_shard_block_matrix_padding():
+    hf, A, b, mg, _ = setup_problem(n=8)
+    SA = shard_block_matrix(A, 8)
+    assert SA.n_rows_pad % 8 == 0
+    # reconstruct dense from shards and compare
+    nb = A.data.shape[-1]
+    dense = np.zeros((SA.n_rows_pad * nb, SA.n_rows_pad * nb))
+    per = SA.rows_per_shard
+    data = np.asarray(SA.data).reshape(8, -1, nb, nb)
+    lrows = np.asarray(SA.lrows).reshape(8, -1)
+    cols = np.asarray(SA.cols).reshape(8, -1)
+    for d in range(8):
+        for k in range(data.shape[1]):
+            r = d * per + lrows[d, k]
+            c = cols[d, k]
+            dense[r * nb : (r + 1) * nb, c * nb : (c + 1) * nb] += data[d, k]
+    ref = np.asarray(A.to_dense())
+    assert np.allclose(dense[: ref.shape[0], : ref.shape[1]], ref, atol=1e-13)
