@@ -64,6 +64,11 @@ def split_disconnected(cell2poly: np.ndarray, neighbors: np.ndarray) -> np.ndarr
     each component becomes its own polytope.  Returns a new, compact
     ``cell2poly`` (labels renumbered 0..n_poly-1, ordered by first cell).
     """
+    from polydeal_tpu import native
+
+    nat = native.connected_components_labels(cell2poly, neighbors)
+    if nat is not None:
+        return nat
     n_cells = cell2poly.shape[0]
     rows = np.repeat(np.arange(n_cells), neighbors.shape[1])
     cols = neighbors.ravel()

@@ -109,7 +109,11 @@ def partition_cells(
     if strategy == "rcb":
         labels = _rcb(np.asarray(centers, dtype=np.float64), n_parts)
     elif strategy == "greedy":
-        labels = _greedy_bfs(neighbors, n_parts)
+        from polydeal_tpu import native
+
+        labels = native.greedy_partition(neighbors, n_parts)
+        if labels is None:
+            labels = _greedy_bfs(neighbors, n_parts)
     else:
         raise ValueError(f"unknown partition strategy: {strategy}")
     return compact_labels(labels)

@@ -38,6 +38,11 @@ def str_tile(points: np.ndarray, n_groups: int) -> np.ndarray:
     labels = np.zeros(n, dtype=np.int64)
     if n_groups <= 1 or n == 0:
         return labels
+    from polydeal_tpu import native
+
+    nat = native.str_tile(points, n_groups)
+    if nat is not None:
+        return nat
 
     def rec(idx: np.ndarray, pts: np.ndarray, k: int, axis: int, base: int):
         if k <= 1 or idx.shape[0] == 0:

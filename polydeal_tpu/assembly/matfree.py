@@ -94,16 +94,11 @@ class PolyReducer:
     def __call__(self, contrib, idx):
         key = id(idx)
         if key not in self._cache:
-            counts = np.bincount(idx, minlength=self.n_poly)
-            C = max(int(counts.max()), 1) if counts.size else 1
-            ent = np.zeros((self.n_poly, C), dtype=np.int64)
-            mask = np.zeros((self.n_poly, C))
-            order = np.argsort(idx, kind="stable")
-            pos = np.concatenate([[0], np.cumsum(counts)])
-            for p in range(self.n_poly):
-                k = counts[p]
-                ent[p, :k] = order[pos[p] : pos[p + 1]]
-                mask[p, :k] = 1.0
+            from polydeal_tpu.utils.grouping import padded_group_lists
+
+            members, _ = padded_group_lists(idx, self.n_poly)
+            mask = (members >= 0).astype(np.float64)
+            ent = np.maximum(members, 0)
             self._cache[key] = (ent, mask)
         ent, mask = self._cache[key]
         return jnp.einsum(

@@ -167,17 +167,13 @@ class AgglomerationHandler:
 
     # ------------------------------------------------------------------
     def _build_poly2cells(self):
-        order = np.argsort(self.cell2poly, kind="stable")
-        counts = np.bincount(self.cell2poly, minlength=self.n_poly)
+        from polydeal_tpu.utils.grouping import padded_group_lists
+
+        members, counts = padded_group_lists(self.cell2poly, self.n_poly)
         if (counts == 0).any():
             raise ValueError("empty polytope label present")
         self.poly_n_cells = counts
-        max_cells = int(counts.max())
-        p2c = np.full((self.n_poly, max_cells), -1, dtype=np.int64)
-        pos = np.concatenate([[0], np.cumsum(counts)])
-        for p in range(self.n_poly):
-            p2c[p, : counts[p]] = order[pos[p] : pos[p + 1]]
-        self.poly2cells = p2c
+        self.poly2cells = members
 
     def _build_bboxes(self):
         """Axis-aligned bbox of each polytope = hull of member cell vertices

@@ -135,6 +135,17 @@ class FineMesh:
         face identification.
         """
         if self._neighbors is None:
+            from polydeal_tpu import native
+
+            local = np.array(
+                [[v for v in range(1 << self.dim) if ((v >> axis) & 1) == side]
+                 for axis in range(self.dim) for side in range(2)],
+                dtype=np.int32,
+            )
+            nb = native.face_neighbors(self.cells, local)
+            if nb is not None:
+                self._neighbors = nb
+                return self._neighbors
             fv = np.sort(self.face_vertex_ids().reshape(-1, 1 << (self.dim - 1)), axis=1)
             order = np.lexsort(fv.T[::-1])
             s = fv[order]

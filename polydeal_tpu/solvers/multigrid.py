@@ -119,14 +119,9 @@ class Transfer:
 
     def __post_init__(self):
         if self.children is None:
-            parent = np.asarray(self.parent)
-            counts = np.bincount(parent, minlength=self.n_coarse)
-            C = int(counts.max()) if counts.size else 1
-            ch = np.full((self.n_coarse, C), -1, dtype=np.int64)
-            order = np.argsort(parent, kind="stable")
-            pos = np.concatenate([[0], np.cumsum(counts)])
-            for p in range(self.n_coarse):
-                ch[p, : counts[p]] = order[pos[p] : pos[p + 1]]
+            from polydeal_tpu.utils.grouping import padded_group_lists
+
+            ch, _ = padded_group_lists(np.asarray(self.parent), self.n_coarse)
             self.children = ch
             self._cmask = (ch >= 0).astype(np.float64)
 
