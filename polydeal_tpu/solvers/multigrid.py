@@ -117,22 +117,47 @@ class Transfer:
     children: np.ndarray = None  # [P_c, C] static, -1 padded
     _cmask: np.ndarray = None
 
+    _uniform_C: int = 0  # >0: parent == arange(P_f)//C (STR fast path)
+    _Et: jnp.ndarray = None  # [nb, nb, P_f] lane-aligned E for fast path
+
     def __post_init__(self):
         if self.children is None:
             from polydeal_tpu.utils.grouping import padded_group_lists
 
-            ch, _ = padded_group_lists(np.asarray(self.parent), self.n_coarse)
+            parent = np.asarray(self.parent)
+            ch, counts = padded_group_lists(parent, self.n_coarse)
             self.children = ch
             self._cmask = (ch >= 0).astype(np.float64)
+            # fast path: uniform contiguous children (always true for the
+            # STR hierarchy on uniform grids): transfers become pure
+            # reshape/broadcast in P-last layout — no gathers, no scatters
+            C = int(counts[0]) if counts.size else 0
+            if C > 0 and (counts == C).all() and np.array_equal(
+                    parent, np.arange(parent.shape[0]) // C):
+                self._uniform_C = C
+                self._Et = jnp.moveaxis(self.E, 0, -1)  # [nb, nb, P_f]
 
     def prolong(self, u_c: jnp.ndarray) -> jnp.ndarray:
         nb = self.E.shape[-1]
+        if self._uniform_C:
+            C = self._uniform_C
+            uct = u_c.reshape(self.n_coarse, nb).T  # [nb, P_c]
+            rep = jnp.broadcast_to(uct[:, :, None],
+                                   (nb, self.n_coarse, C)).reshape(nb, -1)
+            uf = jnp.einsum("ijp,jp->ip", self._Et, rep)  # [nb, P_f]
+            return uf.T.reshape(-1)
         uc = u_c.reshape(self.n_coarse, nb)
         uf = jnp.einsum("pij,pj->pi", self.E, uc[jnp.asarray(self.parent)])
         return uf.reshape(-1)
 
     def restrict(self, r_f: jnp.ndarray) -> jnp.ndarray:
         nb = self.E.shape[-1]
+        if self._uniform_C:
+            C = self._uniform_C
+            rft = r_f.reshape(-1, nb).T  # [nb, P_f]
+            t = jnp.einsum("ijp,ip->jp", self._Et, rft)  # [nb, P_f]
+            rc = t.reshape(nb, self.n_coarse, C).sum(axis=2)  # [nb, P_c]
+            return rc.T.reshape(-1)
         rf = r_f.reshape(-1, nb)
         contrib = jnp.einsum("pij,pi->pj", self.E, rf)  # [P_f, nb]
         ch = np.maximum(self.children, 0)
@@ -214,7 +239,9 @@ class Multigrid:
         # one per level (axon TPU compiles are ~30s).
         @jax.jit
         def _numeric_setup(mats):
-            ells = [A.to_ell() for A in mats]
+            # banded (shift-based, lane-aligned) where the offset set is
+            # small — ~40-80x faster SpMV than ELL on TPU; ELL otherwise
+            ells = [A.to_banded() or A.to_ell() for A in mats]
             lams = []
             for Ae in ells[1:]:
                 inv = 1.0 / Ae.diagonal()

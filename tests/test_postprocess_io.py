@@ -1,0 +1,109 @@
+"""I/O, metrics, h_orthogonal, and BlockBanded format tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import polydeal_tpu as pd
+from polydeal_tpu.agglomeration import RTreeAgglomerator
+from polydeal_tpu.assembly import assemble_sipg_matrix
+from polydeal_tpu.io import export_polygon_csv, write_matrix_market, write_vtu
+from polydeal_tpu.metrics import compute_quality_metrics, compute_h_orthogonal
+
+
+def quad_handler(n=4, degree=1):
+    m = pd.hyper_cube(2, n)
+    centers = m.cell_centers()
+    c2p = (centers[:, 0] > 0.5).astype(np.int32) + 2 * (centers[:, 1] > 0.5)
+    return pd.AgglomerationHandler(m, c2p, degree=degree)
+
+
+def test_banded_matches_coo():
+    """BlockBanded SpMV == BlockMatrix SpMV (any offsets)."""
+    ah = quad_handler(6, degree=2)
+    A = assemble_sipg_matrix(ah)
+    B = A.to_banded()
+    assert B is not None
+    x = jnp.asarray(np.random.default_rng(0).normal(size=A.shape[0]))
+    assert np.allclose(np.asarray(A.matvec(x)), np.asarray(B.matvec(x)),
+                       atol=1e-11)
+    assert np.allclose(np.asarray(A.diagonal()), np.asarray(B.diagonal()),
+                       atol=1e-12)
+
+
+def test_banded_fallback_none():
+    """A matrix with too many offsets returns None (caller falls to ELL)."""
+    ah = quad_handler(6, degree=1)
+    A = assemble_sipg_matrix(ah)
+    assert A.to_banded(max_offsets=1) is None
+
+
+def test_quality_metrics_square_polytopes():
+    """Axis-aligned square polytopes: box_ratio = 1, circle ratio and
+    uniformity match the square's exact values."""
+    ah = quad_handler(4)
+    q = compute_quality_metrics(ah)
+    assert np.allclose(q["box_ratio"], 1.0, atol=1e-12)
+    assert q["coverage"] == pytest.approx(1.0, abs=1e-12)
+    # square of side h: r_in = h/2 (at face quadrature), r_out <= h*sqrt(2)/2
+    assert (q["circle_ratio"] > 0.5).all()
+    assert q["mean_uniformity"] > 0.9
+
+
+def test_h_orthogonal_square():
+    """For 0.5x0.5 square polytopes, depth behind each face = 0.5 (up to
+    quadrature sampling of the volume points)."""
+    ah = quad_handler(4, degree=2)
+    h = compute_h_orthogonal(ah)
+    interior = {k: v for k, v in h.items() if k[1] >= 0}
+    assert len(interior) == 4  # 4 interior polytopal faces
+    for v in interior.values():
+        assert 0.35 < v <= 0.5 + 1e-12
+
+
+def test_export_polygon_csv(tmp_path):
+    ah = quad_handler(4)
+    path = os.path.join(tmp_path, "poly.csv")
+    n = export_polygon_csv(ah, path)
+    lines = open(path).read().strip().splitlines()
+    assert lines[0] == "poly,x0,y0,x1,y1"
+    # 4 quadrants x perimeter 2 / fine edge 0.25 = 8 segments each
+    assert n == 32
+    assert len(lines) == 33
+
+
+def test_write_matrix_market(tmp_path):
+    ah = quad_handler(2)
+    A = assemble_sipg_matrix(ah)
+    path = os.path.join(tmp_path, "A.mtx")
+    n = write_matrix_market(A, path)
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("%%MatrixMarket")
+    rows, cols, nnz = map(int, lines[1].split())
+    assert rows == ah.n_dofs and nnz == n
+    # re-read and compare to dense
+    dense = np.zeros((rows, cols))
+    for ln in lines[2:]:
+        r, c, v = ln.split()
+        dense[int(r) - 1, int(c) - 1] = float(v)
+    assert np.allclose(dense, np.asarray(A.to_dense()), atol=1e-12)
+
+
+def test_write_vtu(tmp_path):
+    m = pd.distort_random(pd.hyper_cube(2, 4), 0.1, seed=1)
+    agg = RTreeAgglomerator.build(m.cell_centers())
+    c2p = agg.extract_agglomerates(1)
+    path = os.path.join(tmp_path, "mesh.vtu")
+    write_vtu(m, path, cell_data={"poly": c2p.astype(float)})
+    text = open(path).read()
+    assert "<VTKFile" in text and 'Name="poly"' in text
+    assert text.count("</DataArray>") >= 5
+
+
+def test_write_vtu_3d(tmp_path):
+    m = pd.hyper_cube(3, 2)
+    path = os.path.join(tmp_path, "mesh3.vtu")
+    write_vtu(m, path, cell_data={"id": np.arange(8, dtype=float)})
+    assert "12" in open(path).read()  # hexahedron type
