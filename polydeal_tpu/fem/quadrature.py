@@ -49,6 +49,47 @@ def face_quadrature(dim: int, n: int) -> tuple[np.ndarray, np.ndarray]:
     return tensor_gauss(dim - 1, n)
 
 
+@lru_cache(maxsize=None)
+def grundmann_moeller(dim: int, s: int) -> tuple[np.ndarray, np.ndarray]:
+    """Grundmann–Möller simplex rule of degree 2s+1 on the unit simplex
+    {x >= 0, sum x <= 1}.  Exact for polynomials of degree <= 2s+1;
+    weights sum to the simplex volume 1/dim!.
+
+    Replaces deal.II's QGaussSimplex in the reference's simplex paths.
+    """
+    import math
+
+    vol = 1.0 / math.factorial(dim)
+    pts_list, wts_list = [], []
+    d = 2 * s + 1
+    for i in range(s + 1):
+        w = (
+            (-1) ** i
+            * 2.0 ** (-2 * s)
+            * (d + dim - 2 * i) ** d
+            / (math.factorial(i) * math.factorial(d + dim - i))
+        )
+        # all compositions of s - i into dim+1 parts
+        for comp in _compositions(s - i, dim + 1):
+            bary = np.array([(2 * c + 1) / (d + dim - 2 * i) for c in comp])
+            pts_list.append(bary[1:])  # drop the first barycentric coord
+            wts_list.append(w)
+    pts = np.asarray(pts_list, dtype=np.float64)
+    wts = np.asarray(wts_list, dtype=np.float64)
+    wts = wts * (vol / wts.sum())  # normalize (GM weights sum to volume)
+    return pts, wts
+
+
+def _compositions(n: int, k: int):
+    """All k-tuples of nonnegative ints summing to n."""
+    if k == 1:
+        yield (n,)
+        return
+    for first in range(n + 1):
+        for rest in _compositions(n - first, k - 1):
+            yield (first,) + rest
+
+
 def embed_face_points(face_pts: np.ndarray, axis: int, side: int) -> np.ndarray:
     """Embed (dim-1)-dim face quadrature points into the unit cell.
 

@@ -152,6 +152,8 @@ class ShardedSystem:
         levels, params = [], []
         for li, A in enumerate(mg.matrices):
             sm = mg.smoothers[li]
+            if isinstance(sm, dict):
+                sm = next(iter(sm.values()))
             nb = A.data.shape[-1]
             SA = shard_block_matrix(A, n_dev)
             diag = np.asarray(A.diagonal()).reshape(-1, nb)

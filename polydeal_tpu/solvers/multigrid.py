@@ -137,15 +137,32 @@ class Transfer:
                 self._uniform_C = C
                 self._Et = jnp.moveaxis(self.E, 0, -1)  # [nb, nb, P_f]
 
-    def prolong(self, u_c: jnp.ndarray) -> jnp.ndarray:
+    def prolong_t(self, uct: jnp.ndarray) -> jnp.ndarray:
+        """[nb, P_c] -> [nb, P_f] in the lane-aligned transposed layout."""
         nb = self.E.shape[-1]
         if self._uniform_C:
             C = self._uniform_C
-            uct = u_c.reshape(self.n_coarse, nb).T  # [nb, P_c]
             rep = jnp.broadcast_to(uct[:, :, None],
                                    (nb, self.n_coarse, C)).reshape(nb, -1)
-            uf = jnp.einsum("ijp,jp->ip", self._Et, rep)  # [nb, P_f]
-            return uf.T.reshape(-1)
+            return jnp.einsum("ijp,jp->ip", self._Et, rep)
+        uf = self.prolong(uct.T.reshape(-1))
+        return uf.reshape(-1, nb).T
+
+    def restrict_t(self, rft: jnp.ndarray) -> jnp.ndarray:
+        """[nb, P_f] -> [nb, P_c]."""
+        nb = self.E.shape[-1]
+        if self._uniform_C:
+            C = self._uniform_C
+            t = jnp.einsum("ijp,ip->jp", self._Et, rft)  # [nb, P_f]
+            return t.reshape(nb, self.n_coarse, C).sum(axis=2)
+        rc = self.restrict(rft.T.reshape(-1))
+        return rc.reshape(-1, nb).T
+
+    def prolong(self, u_c: jnp.ndarray) -> jnp.ndarray:
+        nb = self.E.shape[-1]
+        if self._uniform_C:
+            uct = u_c.reshape(self.n_coarse, nb).T
+            return self.prolong_t(uct).T.reshape(-1)
         uc = u_c.reshape(self.n_coarse, nb)
         uf = jnp.einsum("pij,pj->pi", self.E, uc[jnp.asarray(self.parent)])
         return uf.reshape(-1)
@@ -153,11 +170,7 @@ class Transfer:
     def restrict(self, r_f: jnp.ndarray) -> jnp.ndarray:
         nb = self.E.shape[-1]
         if self._uniform_C:
-            C = self._uniform_C
-            rft = r_f.reshape(-1, nb).T  # [nb, P_f]
-            t = jnp.einsum("ijp,ip->jp", self._Et, rft)  # [nb, P_f]
-            rc = t.reshape(nb, self.n_coarse, C).sum(axis=2)  # [nb, P_c]
-            return rc.T.reshape(-1)
+            return self.restrict_t(r_f.reshape(-1, nb).T).T.reshape(-1)
         rf = r_f.reshape(-1, nb)
         contrib = jnp.einsum("pij,pi->pj", self.E, rf)  # [P_f, nb]
         ch = np.maximum(self.children, 0)
@@ -252,22 +265,32 @@ class Multigrid:
                     )
                 )
             lu = jax.scipy.linalg.lu_factor(mats[0].to_dense())
-            return ells, lams, lu
+            dinvs = [None] + [
+                (1.0 / Ae.diagonal_t() if hasattr(Ae, "diagonal_t")
+                 else 1.0 / Ae.diagonal()) for Ae in ells[1:]
+            ]
+            return ells, lams, lu, dinvs
 
-        ells, lams, coarse_lu = _numeric_setup(matrices)
+        ells, lams, coarse_lu, dinvs = _numeric_setup(matrices)
+        # two smoother variants per level: transposed [nb, P] (banded
+        # operators) and flat — the cycle picks per runtime layout
         smoothers = [None]
-        for Ae, lam in zip(ells[1:], lams):
-            inv = 1.0 / Ae.diagonal()
-            Minv = lambda r, inv=inv: inv * r
-            smoothers.append(
-                ChebyshevSmoother(
-                    A=Ae.matvec,
-                    Minv=Minv,
-                    lo=lam / smoothing_range,
-                    hi=1.2 * lam,
-                    degree=chebyshev_degree,
-                )
-            )
+        for Ae, lam, dinv in zip(ells[1:], lams, dinvs[1:]):
+            pair = {}
+            lo, hi = lam / smoothing_range, 1.2 * lam
+            if hasattr(Ae, "matvec_t"):
+                pair[True] = ChebyshevSmoother(
+                    A=Ae.matvec_t, Minv=lambda r, d=dinv: d * r,
+                    lo=lo, hi=hi, degree=chebyshev_degree)
+                dflat = dinv.T.reshape(-1)
+                pair[False] = ChebyshevSmoother(
+                    A=Ae.matvec, Minv=lambda r, d=dflat: d * r,
+                    lo=lo, hi=hi, degree=chebyshev_degree)
+            else:
+                pair[False] = ChebyshevSmoother(
+                    A=Ae.matvec, Minv=lambda r, d=dinv: d * r,
+                    lo=lo, hi=hi, degree=chebyshev_degree)
+            smoothers.append(pair)
         return cls(
             matrices=matrices,
             transfers=transfers,
@@ -281,29 +304,76 @@ class Multigrid:
     def n_levels(self) -> int:
         return len(self.matrices)
 
-    def _cycle(self, level: int, b: jnp.ndarray) -> jnp.ndarray:
+    def _is_t(self, level: int) -> bool:
+        return hasattr(self.ells[level], "matvec_t") and \
+            (level == 0 or self.transfers[level - 1]._uniform_C > 0)
+
+    def _to_t(self, level: int, b_flat: jnp.ndarray):
+        nb = self.matrices[level].data.shape[-1]
+        return b_flat.reshape(-1, nb).T
+
+    def _cycle(self, level: int, b) -> jnp.ndarray:
+        """b is [nb, P] when the level supports the transposed layout
+        (banded operator + uniform transfer), flat otherwise; layout
+        conversions happen only at mixed-level boundaries."""
         if level == 0:
+            if b.ndim == 2:
+                x = jax.scipy.linalg.lu_solve(self.coarse_lu, b.T.reshape(-1))
+                return x.reshape(-1, b.shape[0]).T
             return jax.scipy.linalg.lu_solve(self.coarse_lu, b)
         A = self.ells[level]
-        sm = self.smoothers[level]
+        is_t = b.ndim == 2
+        sm = self.smoothers[level][is_t]
+        mv = A.matvec_t if is_t else A.matvec
         x = jnp.zeros_like(b)
         for _ in range(self.n_smooth):
             x = sm(b, x)
-        r = b - A.matvec(x)
+        r = b - mv(x)
         t = self.transfers[level - 1]
-        xc = self._cycle(level - 1, t.restrict(r))
-        x = x + t.prolong(xc)
+        down_t = self._is_t(level - 1) and t._uniform_C > 0
+        if is_t:
+            rc = t.restrict_t(r) if down_t else self._from_t_restrict(t, r)
+        else:
+            rc = t.restrict(r)
+            if down_t:
+                rc = self._to_t(level - 1, rc)
+        xc = self._cycle(level - 1, rc)
+        if is_t:
+            x = x + (t.prolong_t(xc) if xc.ndim == 2
+                     else self._to_t(level, t.prolong(xc.reshape(-1))))
+        else:
+            xcf = xc.T.reshape(-1) if xc.ndim == 2 else xc
+            x = x + t.prolong(xcf)
         for _ in range(self.n_smooth):
             x = sm(b, x)
         return x
 
+    def _from_t_restrict(self, t, r_t):
+        rc = t.restrict(r_t.T.reshape(-1))
+        return rc
+
     def v_cycle(self, b: jnp.ndarray) -> jnp.ndarray:
         """One V-cycle on the finest level (use as CG preconditioner)."""
-        return self._cycle(self.n_levels - 1, b)
+        top = self.n_levels - 1
+        if self._is_t(top):
+            bt = self._to_t(top, b)
+            return self._cycle(top, bt).T.reshape(-1)
+        return self._cycle(top, b)
 
     def solve_cg(self, b: jnp.ndarray, rtol: float = 1e-9,
                  maxiter: int = 200) -> CGResult:
-        A = self.ells[-1]
+        """MG-preconditioned CG; runs entirely in the lane-aligned
+        transposed layout when the fine level supports it."""
+        top = self.n_levels - 1
+        A = self.ells[top]
+        if self._is_t(top):
+            nb = self.matrices[top].data.shape[-1]
+            bt = self._to_t(top, b)
+            res = cg_solve(A.matvec_t, bt,
+                           M=lambda r: self._cycle(top, r),
+                           rtol=rtol, maxiter=maxiter)
+            return CGResult(x=res.x.T.reshape(-1), iterations=res.iterations,
+                            residual=res.residual)
         return cg_solve(A.matvec, b, M=self.v_cycle, rtol=rtol, maxiter=maxiter)
 
 

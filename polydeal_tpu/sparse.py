@@ -281,18 +281,35 @@ class BlockBanded:
         nb = self.data.shape[1]
         return (self.data.shape[-1] * nb, self.n_block_cols * nb)
 
-    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        nb = self.data.shape[1]
-        P = self.data.shape[-1]
-        xt = x.reshape(P, nb).T  # [nb, P]
+    def matvec_t(self, xt: jnp.ndarray) -> jnp.ndarray:
+        """Transposed-layout SpMV: xt [nb, P] -> [nb, P].
+
+        The zero-copy hot path: operands stay lane-aligned end to end —
+        keep solver state in this layout to avoid the [P, nb] tile-padded
+        round trips (each costs more than the SpMV itself)."""
         y = jnp.zeros_like(xt)
         for k, o in enumerate(self.offsets):
             xs = jnp.roll(xt, -int(o), axis=1) if o != 0 else xt
             y = y + jnp.einsum("ijp,jp->ip", self.data[k], xs)
+        return y
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        nb = self.data.shape[1]
+        P = self.data.shape[-1]
+        xt = x.reshape(P, nb).T  # [nb, P]
+        y = self.matvec_t(xt)
         return y.T.reshape(-1) if x.ndim == 1 else y.T
 
     def __matmul__(self, x):
         return self.matvec(x)
+
+    def diagonal_t(self) -> jnp.ndarray:
+        """Diagonal in transposed layout [nb, P]."""
+        k0 = int(np.searchsorted(self.offsets, 0))
+        nb = self.data.shape[1]
+        if k0 >= self.offsets.shape[0] or self.offsets[k0] != 0:
+            return jnp.zeros((nb, self.data.shape[-1]), dtype=self.data.dtype)
+        return jnp.stack([self.data[k0, i, i, :] for i in range(nb)], axis=0)
 
     def diagonal(self) -> jnp.ndarray:
         k0 = int(np.searchsorted(self.offsets, 0))

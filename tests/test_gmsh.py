@@ -1,0 +1,72 @@
+"""gmsh reader tests (reference unstructured_grid.cc tier)."""
+
+import os
+import textwrap
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import polydeal_tpu as pd
+from polydeal_tpu.mesh.gmsh_io import read_msh
+
+V2_QUAD = textwrap.dedent("""\
+    $MeshFormat
+    2.2 0 8
+    $EndMeshFormat
+    $Nodes
+    9
+    1 0 0 0
+    2 0.5 0 0
+    3 1 0 0
+    4 0 0.5 0
+    5 0.5 0.5 0
+    6 1 0.5 0
+    7 0 1 0
+    8 0.5 1 0
+    9 1 1 0
+    $EndNodes
+    $Elements
+    4
+    1 3 2 0 1 1 2 5 4
+    2 3 2 0 1 2 3 6 5
+    3 3 2 0 1 4 5 8 7
+    4 3 2 0 1 5 6 9 8
+    $EndElements
+    """)
+
+
+def test_read_v2_quads(tmp_path):
+    p = os.path.join(tmp_path, "m.msh")
+    open(p, "w").write(V2_QUAD)
+    m = read_msh(p)
+    assert m.n_cells == 4 and m.n_vertices == 9
+    assert np.allclose(m.cell_measures(2).sum(), 1.0, atol=1e-13)
+    assert (m.neighbors < 0).sum() == 8
+
+
+REF_T3 = "/root/reference/test/polydeal/t3.msh"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_T3), reason="reference mesh absent")
+def test_read_v41_and_solve_unstructured():
+    """Solve Poisson on the reference's unstructured t3 grid: the SIPG
+    exactness invariant (linears reproduced) must hold on general quads
+    (reference unstructured_grid.cc / exact_solutions patterns)."""
+    from polydeal_tpu.agglomeration import agglomerate_by_partition
+    from polydeal_tpu.assembly import assemble_sipg_matrix, assemble_rhs
+    from polydeal_tpu.postprocess import compute_global_error
+    from polydeal_tpu.solvers import cg_solve, block_jacobi_preconditioner
+
+    m = read_msh(REF_T3)
+    assert m.dim == 2 and m.n_cells == 91
+    c2p = agglomerate_by_partition(m.cell_centers(), m.neighbors, 10,
+                                   strategy="greedy")
+    ah = pd.AgglomerationHandler(m, c2p, degree=1, n_quad=3)
+    u_ex = lambda x: 2.0 * x[..., 0] - x[..., 1] + 0.25
+    A = assemble_sipg_matrix(ah)
+    b = assemble_rhs(ah, lambda x: jnp.zeros_like(x[..., 0]), u_ex)
+    res = cg_solve(A.matvec, b, M=block_jacobi_preconditioner(A.diag_blocks()),
+                   rtol=1e-13, maxiter=5000)
+    l2, _ = compute_global_error(ah, res.x, u_ex)
+    assert float(l2) < 1e-10, float(l2)
