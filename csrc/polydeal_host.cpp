@@ -225,4 +225,46 @@ int pd_str_tile(const double* pts, int64_t n, int32_t dim, int32_t n_groups,
   return 0;
 }
 
+// ---------------------------------------------------------------------
+// Recursive STR leaf ordering: rank[i] = position of point i in the
+// depth-first traversal of the fanout-way STR tile tree.  Every
+// fanout^k-aligned chunk of ranks is a compact spatial tile, so the whole
+// R-tree hierarchy becomes rank // fanout^k — children of a node are a
+// contiguous rank range at every level (the property the TPU transfer
+// fast path and banded SpMV offsets rely on).
+static void leaf_rec(const double* pts, int dim, int64_t* idx, int64_t n,
+                     int32_t fanout, int64_t* rank, int64_t* counter) {
+  if (n <= 1) {
+    for (int64_t i = 0; i < n; ++i) rank[idx[i]] = (*counter)++;
+    return;
+  }
+  const int32_t k = (int32_t)std::min<int64_t>(fanout, n);
+  // label points into k tiles (tile ids are in spatial order)
+  std::vector<int64_t> labels(n);
+  {
+    // str_rec works on original-index labels; build a local copy
+    std::vector<int64_t> local(n);
+    std::iota(local.begin(), local.end(), 0);
+    std::vector<double> sub((size_t)n * dim);
+    for (int64_t i = 0; i < n; ++i)
+      for (int d = 0; d < dim; ++d) sub[i * dim + d] = pts[idx[i] * dim + d];
+    str_rec(sub.data(), dim, local.data(), n, k, 0, 0, labels.data());
+  }
+  // bucket by tile, preserving spatial tile order
+  std::vector<std::vector<int64_t>> buckets(k);
+  for (int64_t i = 0; i < n; ++i) buckets[labels[i]].push_back(idx[i]);
+  for (int32_t g = 0; g < k; ++g)
+    leaf_rec(pts, dim, buckets[g].data(), (int64_t)buckets[g].size(), fanout,
+             rank, counter);
+}
+
+int pd_str_leaf_order(const double* pts, int64_t n, int32_t dim,
+                      int32_t fanout, int64_t* rank) {
+  std::vector<int64_t> idx(n);
+  std::iota(idx.begin(), idx.end(), 0);
+  int64_t counter = 0;
+  leaf_rec(pts, dim, idx.data(), n, fanout, rank, &counter);
+  return 0;
+}
+
 }  // extern "C"

@@ -93,36 +93,50 @@ class RTreeAgglomerator:
 
     @classmethod
     def build(cls, centers: np.ndarray, fanout: int | None = None) -> "RTreeAgglomerator":
+        """Build via a recursive STR *leaf ordering* (depth-first rank in
+        the fanout-way tile tree).  Every level is then the chunking
+        ``rank // fanout^(depth-level)`` — so children of any node are a
+        contiguous id range (``parent = id // fanout``), the property the
+        TPU transfer fast path and the banded SpMV offsets exploit, and
+        polytope ids follow a space-filling-curve order (locality for
+        sharding)."""
         centers = np.asarray(centers, dtype=np.float64)
         n, dim = centers.shape
         if fanout is None:
             fanout = 1 << dim  # 2^dim, the reference's convention
-        # leaf level: each cell its own node, ordered by STR position
-        levels = []  # built top-down later; collect bottom-up first
-        # bottom-up: current nodes with representative centers
-        node_of_cell = np.arange(n, dtype=np.int64)
-        node_centers = centers
-        chain = [node_of_cell]
-        while node_centers.shape[0] > 1:
-            n_nodes = node_centers.shape[0]
-            n_parents = max(1, int(np.ceil(n_nodes / fanout)))
-            parent = str_tile(node_centers, n_parents)
-            # compact parent labels by first occurrence for determinism
-            _, first, inv = np.unique(parent, return_index=True, return_inverse=True)
-            order = np.argsort(np.argsort(first))
-            parent = order[inv]
-            node_of_cell = parent[node_of_cell]
-            chain.append(node_of_cell.copy())
-            # new node centers = mean of member centers
-            n_new = int(parent.max()) + 1
-            sums = np.zeros((n_new, dim))
-            cnts = np.zeros(n_new)
-            np.add.at(sums, parent, node_centers)
-            np.add.at(cnts, parent, 1.0)
-            node_centers = sums / cnts[:, None]
-        # chain[0] = leaves (level = depth), chain[-1] = root (level 0)
-        levels = chain[::-1]
-        return cls(level_assign=levels)
+        rank = cls._leaf_order(centers, fanout)
+        depth = 0
+        while fanout**depth < n:
+            depth += 1
+        levels = [rank // (fanout ** (depth - l)) for l in range(depth)]
+        levels.append(rank)  # leaf level
+        return cls(level_assign=[lv.astype(np.int64) for lv in levels])
+
+    @staticmethod
+    def _leaf_order(centers: np.ndarray, fanout: int) -> np.ndarray:
+        from polydeal_tpu import native
+
+        rank = native.str_leaf_order(centers, fanout)
+        if rank is not None:
+            return rank
+        # python fallback: recursive fanout-way tiling
+        n = centers.shape[0]
+        rank = np.empty(n, dtype=np.int64)
+        counter = [0]
+
+        def rec(idx):
+            if idx.shape[0] <= 1:
+                for i in idx:
+                    rank[i] = counter[0]
+                    counter[0] += 1
+                return
+            k = min(fanout, idx.shape[0])
+            labels = str_tile(centers[idx], k)
+            for g in range(k):
+                rec(idx[labels == g])
+
+        rec(np.arange(n))
+        return rank
 
     @property
     def n_levels(self) -> int:

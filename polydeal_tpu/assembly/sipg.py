@@ -107,10 +107,16 @@ class FaceTables:
         return cls(*children, unwrap_static(aux[0]), unwrap_static(aux[1]))
 
 
-def build_volume_tables(ah: AgglomerationHandler, dtype=jnp.float64) -> VolumeTables:
+def build_volume_tables(ah: AgglomerationHandler, dtype=jnp.float64,
+                        basis=None) -> VolumeTables:
+    """Shape tables for ``basis`` (default: the handler's own) at the
+    handler's composite quadrature — the hook mixed/vector spaces use to
+    evaluate several bases on one polytopal mesh (reference FESystem
+    paths, darcy_stokes.cc:602-606)."""
+    basis = basis or ah.basis
     pts = jnp.asarray(ah.cell_qpoints_unit, dtype=dtype)
-    B = ah.basis.eval(pts).astype(dtype)
-    Gu = ah.basis.grad(pts).astype(dtype)
+    B = basis.eval(pts).astype(dtype)
+    Gu = basis.grad(pts).astype(dtype)
     ext = jnp.asarray(ah.extents[ah.cell2poly], dtype=dtype)  # [n_c, dim]
     G = Gu / ext[:, None, None, :]
     return VolumeTables(
@@ -122,21 +128,23 @@ def build_volume_tables(ah: AgglomerationHandler, dtype=jnp.float64) -> VolumeTa
     )
 
 
-def build_face_tables(ah: AgglomerationHandler, dtype=jnp.float64):
+def build_face_tables(ah: AgglomerationHandler, dtype=jnp.float64,
+                      basis=None):
     """Returns (interior: FaceTables, boundary: FaceTables)."""
+    basis = basis or ah.basis
     out = []
     for part, both_sides in ((ah.faces.interior(), True), (ah.faces.boundary(), False)):
         p_in = part.poly_in
         pts_in = jnp.asarray(part.points_in, dtype=dtype)
-        B0 = ah.basis.eval(pts_in).astype(dtype)
-        G0 = ah.basis.grad(pts_in).astype(dtype)
+        B0 = basis.eval(pts_in).astype(dtype)
+        G0 = basis.grad(pts_in).astype(dtype)
         ext0 = jnp.asarray(ah.extents[p_in], dtype=dtype)
         G0 = G0 / ext0[:, None, None, :]
         if both_sides:
             p_out = part.poly_out
             pts_out = jnp.asarray(part.points_out, dtype=dtype)
-            B1 = ah.basis.eval(pts_out).astype(dtype)
-            G1 = ah.basis.grad(pts_out).astype(dtype)
+            B1 = basis.eval(pts_out).astype(dtype)
+            G1 = basis.grad(pts_out).astype(dtype)
             ext1 = jnp.asarray(ah.extents[p_out], dtype=dtype)
             G1 = G1 / ext1[:, None, None, :]
         else:

@@ -228,18 +228,31 @@ class MonodomainSolver:
                            maxiter=cfg.solver.max_iterations)
         return res.x, w_np1, res.iterations
 
-    def run(self, n_steps=None, callback=None):
+    def run(self, n_steps=None, callback=None, checkpoint_dir=None,
+            checkpoint_every=0, resume=False):
+        """Time loop with optional orbax checkpoint/resume — the restart
+        capability the reference's monodomain lacks (SURVEY §5)."""
         import jax
+        import jax.numpy as jnp
 
         cfg = self.cfg
         if n_steps is None:
             n_steps = int(round(cfg.final_time / cfg.dt))
         u, w = self.initial_state()
         u_prev = u
+        start = 0
+        if resume and checkpoint_dir is not None:
+            from polydeal_tpu.checkpoint import restore_checkpoint, latest_step
+
+            if latest_step(checkpoint_dir) is not None:
+                start, state = restore_checkpoint(checkpoint_dir)
+                u = jnp.asarray(state["u"])
+                u_prev = jnp.asarray(state["u_prev"])
+                w = jnp.asarray(state["w"])
         step1 = jax.jit(lambda un, um, w, t: self.step(un, um, w, t, True))
         step2 = jax.jit(lambda un, um, w, t: self.step(un, um, w, t, False))
         iters = []
-        for k in range(n_steps):
+        for k in range(start, n_steps):
             t = k * cfg.dt
             stepper = step1 if k == 0 else step2
             u_new, w, it = stepper(u, u_prev, w, t)
@@ -247,6 +260,13 @@ class MonodomainSolver:
             iters.append(int(it))
             if callback is not None and (k + 1) % cfg.output_frequency == 0:
                 callback(k + 1, t + cfg.dt, u, w)
+            if (checkpoint_dir is not None and checkpoint_every > 0
+                    and (k + 1) % checkpoint_every == 0):
+                from polydeal_tpu.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_dir, k + 1, dict(
+                    u=np.asarray(u), u_prev=np.asarray(u_prev),
+                    w=np.asarray(w)))
         return u, w, iters
 
 

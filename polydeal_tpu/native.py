@@ -57,6 +57,10 @@ def _load():
         f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p,
     ]
     lib.pd_str_tile.restype = ctypes.c_int
+    lib.pd_str_leaf_order.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p,
+    ]
+    lib.pd_str_leaf_order.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -101,6 +105,17 @@ def greedy_partition(neighbors: np.ndarray, n_parts: int):
     n, nf = neighbors.shape
     out = np.empty(n, dtype=np.int32)
     lib.pd_greedy_partition(neighbors, n, nf, n_parts, out)
+    return out
+
+
+def str_leaf_order(points: np.ndarray, fanout: int):
+    lib = _load()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, dtype=np.float64)
+    n, dim = points.shape
+    out = np.empty(n, dtype=np.int64)
+    lib.pd_str_leaf_order(points, n, dim, fanout, out)
     return out
 
 

@@ -202,7 +202,10 @@ def build_rtree_hierarchy(
     levels = sorted(extraction_levels)
     c2ps = [rtree.extract_agglomerates(l) for l in levels]
     if include_fine_dg:
-        c2ps.append(np.arange(mesh.n_cells, dtype=np.int32))
+        # trivial agglomeration numbered by the STR *leaf rank* (not mesh
+        # order) so the finest transfer is also a contiguous uniform
+        # chunking — keeps the whole hierarchy on the TPU fast path
+        c2ps.append(rtree.extract_agglomerates(rtree.n_levels - 1))
     handlers = [
         AgglomerationHandler(mesh, c2p, degree=degree, family=family, n_quad=n_quad)
         for c2p in c2ps
@@ -245,16 +248,13 @@ class Multigrid:
         n_smooth: int = 5,
         smoothing_range: float = 15.0,
     ) -> "Multigrid":
-        # single jitted program for the whole numeric setup: block-ELL
-        # conversion (the scatter-free TPU SpMV layout — measured 28x
-        # faster than segment-sum on v5e), eigenvalue estimates on every
-        # level and the coarse LU factorization.  One compile instead of
-        # one per level (axon TPU compiles are ~30s).
+        # banded conversion on the HOST (in-XLA scatter tile-pads a
+        # [nnz, nb, nb] intermediate 32x and OOMs at scale); then ONE
+        # jitted program for eigenvalue estimates + the coarse LU.
+        ells = [A.to_banded() or A.to_ell() for A in matrices]
+
         @jax.jit
-        def _numeric_setup(mats):
-            # banded (shift-based, lane-aligned) where the offset set is
-            # small — ~40-80x faster SpMV than ELL on TPU; ELL otherwise
-            ells = [A.to_banded() or A.to_ell() for A in mats]
+        def _numeric_setup(ells, A0):
             lams = []
             for Ae in ells[1:]:
                 inv = 1.0 / Ae.diagonal()
@@ -264,14 +264,14 @@ class Multigrid:
                         dtype=Ae.data.dtype,
                     )
                 )
-            lu = jax.scipy.linalg.lu_factor(mats[0].to_dense())
+            lu = jax.scipy.linalg.lu_factor(A0.to_dense())
             dinvs = [None] + [
                 (1.0 / Ae.diagonal_t() if hasattr(Ae, "diagonal_t")
                  else 1.0 / Ae.diagonal()) for Ae in ells[1:]
             ]
-            return ells, lams, lu, dinvs
+            return lams, lu, dinvs
 
-        ells, lams, coarse_lu, dinvs = _numeric_setup(matrices)
+        lams, coarse_lu, dinvs = _numeric_setup(ells, matrices[0])
         # two smoother variants per level: transposed [nb, P] (banded
         # operators) and flat — the cycle picks per runtime layout
         smoothers = [None]

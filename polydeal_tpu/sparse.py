@@ -132,12 +132,17 @@ class BlockMatrix:
         return BlockMatrix(self.data * alpha, self.rows, self.cols,
                            self.n_block_rows, self.n_block_cols)
 
+    def banded_offsets(self) -> np.ndarray:
+        return np.unique(self.cols - self.rows)
+
     def to_banded(self, max_offsets: int = 96) -> "BlockBanded | None":
         """Convert to the banded block format if the column-offset set is
-        small (STR/lexicographic orderings give ~7 offsets in 3D).
+        small (space-filling-curve orderings give O(few dozen) offsets).
 
         Returns None when the matrix has more than ``max_offsets`` distinct
-        offsets — caller should fall back to ELL.
+        offsets — caller should fall back to ELL.  The scatter runs on the
+        HOST: doing it in XLA materializes a [nnz, nb, nb] tile-padded
+        intermediate (32x memory) that OOMs at ~10M blocks.
         """
         off = self.cols - self.rows
         uniq = np.unique(off)
@@ -146,10 +151,11 @@ class BlockMatrix:
         nb = self.data.shape[-1]
         P = self.n_block_rows
         oidx = np.searchsorted(uniq, off)
-        data = jnp.zeros((uniq.shape[0], nb, nb, P), dtype=self.data.dtype)
-        # [nnz, nb, nb] -> slot (offset, :, :, row)
-        data = data.at[oidx, :, :, self.rows].set(self.data)
-        return BlockBanded(data=data, offsets=uniq.astype(np.int64),
+        data = np.zeros((uniq.shape[0], nb, nb, P),
+                        dtype=np.asarray(self.data).dtype)
+        data[oidx, :, :, self.rows] = np.asarray(self.data)
+        return BlockBanded(data=jnp.asarray(data),
+                           offsets=uniq.astype(np.int64),
                            n_block_cols=self.n_block_cols)
 
     def to_ell(self) -> "BlockELL":
