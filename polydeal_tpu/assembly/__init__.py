@@ -1,6 +1,7 @@
 from polydeal_tpu.assembly.sipg import (
     default_penalty_constant,
     assemble_sipg_matrix,
+    assemble_sipg_banded,
     assemble_rhs,
     mass_matrix,
     project,
@@ -13,6 +14,7 @@ from polydeal_tpu.assembly.sipg import (
 __all__ = [
     "default_penalty_constant",
     "assemble_sipg_matrix",
+    "assemble_sipg_banded",
     "assemble_rhs",
     "mass_matrix",
     "project",

@@ -151,15 +151,13 @@ class ShardedSystem:
         n_dev = mesh.devices.size
         levels, params = [], []
         for li, A in enumerate(mg.matrices):
-            sm = mg.smoothers[li]
-            if isinstance(sm, dict):
-                sm = next(iter(sm.values()))
             nb = A.data.shape[-1]
             SA = shard_block_matrix(A, n_dev)
             diag = np.asarray(A.diagonal()).reshape(-1, nb)
             dinv = np.ones((SA.n_rows_pad, nb), dtype=diag.dtype)
             dinv[: diag.shape[0]] = 1.0 / diag
-            lo, hi = (0.0, 1.0) if sm is None else (float(sm.lo), float(sm.hi))
+            lo, hi = ((0.0, 1.0) if mg.los[li] is None
+                      else (float(mg.los[li]), float(mg.his[li])))
             levels.append(
                 ShardedLevel(
                     rows_per_shard=SA.rows_per_shard,

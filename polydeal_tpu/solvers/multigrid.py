@@ -102,6 +102,7 @@ def galerkin_coarsen(
     return BlockMatrix.from_blocks(rows_c, cols_c, data_c, n_coarse)
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class Transfer:
     """Two-level transfer: fine polytopes -> coarse parents.
@@ -119,6 +120,27 @@ class Transfer:
 
     _uniform_C: int = 0  # >0: parent == arange(P_f)//C (STR fast path)
     _Et: jnp.ndarray = None  # [nb, nb, P_f] lane-aligned E for fast path
+
+    def tree_flatten(self):
+        from polydeal_tpu.utils.static import wrap_static as W
+
+        return (self.E, self._Et), (
+            W(self.parent), self.n_coarse, W(self.children),
+            W(self._cmask), self._uniform_C,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        from polydeal_tpu.utils.static import unwrap_static as U
+
+        obj = cls.__new__(cls)
+        obj.E, obj._Et = children
+        obj.parent = U(aux[0])
+        obj.n_coarse = aux[1]
+        obj.children = U(aux[2])
+        obj._cmask = U(aux[3])
+        obj._uniform_C = aux[4]
+        return obj
 
     def __post_init__(self):
         if self.children is None:
@@ -221,6 +243,7 @@ def build_rtree_hierarchy(
     return handlers, parents
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class Multigrid:
     """V-cycle over Galerkin-coarsened block matrices.
@@ -234,10 +257,26 @@ class Multigrid:
 
     matrices: list  # list[BlockMatrix], coarse -> fine
     transfers: list  # list[Transfer], transfers[l]: level l <- l+1
-    smoothers: list = field(default_factory=list)
     n_smooth: int = 5
+    chebyshev_degree: int = 3
     coarse_lu: tuple | None = None
-    ells: list = field(default_factory=list)  # BlockELL per level (hot SpMV)
+    ells: list = field(default_factory=list)  # Banded/ELL per level (hot SpMV)
+    dinvs_t: list = field(default_factory=list)  # [nb,P] per level (or flat)
+    los: list = field(default_factory=list)  # smoothing interval lo per level
+    his: list = field(default_factory=list)
+
+    def tree_flatten(self):
+        dyn = (self.matrices, self.transfers, self.coarse_lu, self.ells,
+               self.dinvs_t, self.los, self.his)
+        return dyn, (self.n_smooth, self.chebyshev_degree)
+
+    @classmethod
+    def tree_unflatten(cls, aux, dyn):
+        obj = cls.__new__(cls)
+        (obj.matrices, obj.transfers, obj.coarse_lu, obj.ells,
+         obj.dinvs_t, obj.los, obj.his) = dyn
+        obj.n_smooth, obj.chebyshev_degree = aux
+        return obj
 
     @classmethod
     def setup(
@@ -248,10 +287,15 @@ class Multigrid:
         n_smooth: int = 5,
         smoothing_range: float = 15.0,
     ) -> "Multigrid":
-        # banded conversion on the HOST (in-XLA scatter tile-pads a
-        # [nnz, nb, nb] intermediate 32x and OOMs at scale); then ONE
-        # jitted program for eigenvalue estimates + the coarse LU.
-        ells = [A.to_banded() or A.to_ell() for A in matrices]
+        # banded conversion on device via static gather maps (the naive
+        # in-XLA scatter tile-pads a [nnz, nb, nb] intermediate 32x and
+        # OOMs at scale; host conversion costs seconds at 10^6 rows);
+        # then ONE jitted program for eigenvalue estimates + coarse LU.
+        ells = [
+            jax.jit(lambda A=A: A.to_banded_device())()
+            if A.banded_offsets().shape[0] <= 96 else A.to_ell()
+            for A in matrices
+        ]
 
         @jax.jit
         def _numeric_setup(ells, A0):
@@ -272,32 +316,18 @@ class Multigrid:
             return lams, lu, dinvs
 
         lams, coarse_lu, dinvs = _numeric_setup(ells, matrices[0])
-        # two smoother variants per level: transposed [nb, P] (banded
-        # operators) and flat — the cycle picks per runtime layout
-        smoothers = [None]
-        for Ae, lam, dinv in zip(ells[1:], lams, dinvs[1:]):
-            pair = {}
-            lo, hi = lam / smoothing_range, 1.2 * lam
-            if hasattr(Ae, "matvec_t"):
-                pair[True] = ChebyshevSmoother(
-                    A=Ae.matvec_t, Minv=lambda r, d=dinv: d * r,
-                    lo=lo, hi=hi, degree=chebyshev_degree)
-                dflat = dinv.T.reshape(-1)
-                pair[False] = ChebyshevSmoother(
-                    A=Ae.matvec, Minv=lambda r, d=dflat: d * r,
-                    lo=lo, hi=hi, degree=chebyshev_degree)
-            else:
-                pair[False] = ChebyshevSmoother(
-                    A=Ae.matvec, Minv=lambda r, d=dinv: d * r,
-                    lo=lo, hi=hi, degree=chebyshev_degree)
-            smoothers.append(pair)
+        los = [None] + [lam / smoothing_range for lam in lams]
+        his = [None] + [1.2 * lam for lam in lams]
         return cls(
             matrices=matrices,
             transfers=transfers,
-            smoothers=smoothers,
             n_smooth=n_smooth,
+            chebyshev_degree=chebyshev_degree,
             coarse_lu=coarse_lu,
             ells=ells,
+            dinvs_t=dinvs,
+            los=los,
+            his=his,
         )
 
     @property
@@ -323,8 +353,13 @@ class Multigrid:
             return jax.scipy.linalg.lu_solve(self.coarse_lu, b)
         A = self.ells[level]
         is_t = b.ndim == 2
-        sm = self.smoothers[level][is_t]
         mv = A.matvec_t if is_t else A.matvec
+        dinv = self.dinvs_t[level]
+        if not is_t and dinv.ndim == 2:
+            dinv = dinv.T.reshape(-1)
+        sm = ChebyshevSmoother(A=mv, Minv=lambda r, d=dinv: d * r,
+                               lo=self.los[level], hi=self.his[level],
+                               degree=self.chebyshev_degree)
         x = jnp.zeros_like(b)
         for _ in range(self.n_smooth):
             x = sm(b, x)

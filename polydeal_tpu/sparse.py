@@ -158,6 +158,43 @@ class BlockMatrix:
                            offsets=uniq.astype(np.int64),
                            n_block_cols=self.n_block_cols)
 
+    def to_banded_device(self, max_offsets: int = 96) -> "BlockBanded | None":
+        """Banded conversion that runs ON DEVICE via a static gather map
+        (no host round trip, no scatter): banded[o,i,j,p] =
+        data[src[o,p], i, j] with src precomputed from the static
+        sparsity.  Component-wise gathers keep every intermediate
+        lane-aligned."""
+        off = self.cols - self.rows
+        uniq = np.unique(off)
+        if uniq.shape[0] > max_offsets:
+            return None
+        nb_r, nb_c = self.data.shape[1], self.data.shape[2]
+        P = self.n_block_rows
+        n_off = uniq.shape[0]
+        oidx = np.searchsorted(uniq, off)
+        src = np.zeros((n_off, P), dtype=np.int64)
+        mask = np.zeros((n_off, P), dtype=np.asarray(self.data).dtype
+                        if not isinstance(self.data, jnp.ndarray)
+                        else self.data.dtype)
+        src[oidx, self.rows] = np.arange(self.rows.shape[0])
+        mask[oidx, self.rows] = 1.0
+        srcj = jnp.asarray(src.reshape(-1))
+        maskj = jnp.asarray(mask.reshape(-1))
+        pieces = [
+            [
+                (self.data[:, i, j][srcj] * maskj).reshape(n_off, 1, 1, P)
+                for j in range(nb_c)
+            ]
+            for i in range(nb_r)
+        ]
+        # concatenate instead of stack+transpose: keeps the physical
+        # layout canonical (P minor) in the jit output
+        data = jnp.concatenate(
+            [jnp.concatenate(row, axis=2) for row in pieces], axis=1
+        )
+        return BlockBanded(data=data, offsets=uniq.astype(np.int64),
+                           n_block_cols=self.n_block_cols)
+
     def to_ell(self) -> "BlockELL":
         """Convert to block-ELL (fixed nonzeros per row).
 

@@ -107,3 +107,27 @@ def test_write_vtu_3d(tmp_path):
     path = os.path.join(tmp_path, "mesh3.vtu")
     write_vtu(m, path, cell_data={"id": np.arange(8, dtype=float)})
     assert "12" in open(path).read()  # hexahedron type
+
+
+def test_banded_direct_assembly_matches_coo():
+    """assemble_sipg_banded (lane-aligned direct path) == COO assembly."""
+    from polydeal_tpu.assembly import assemble_sipg_matrix, assemble_sipg_banded
+
+    m0 = pd.hyper_cube(2, 6)
+    m = pd.distort_random(m0, 0.15, seed=2)
+    from polydeal_tpu.agglomeration import agglomerate_by_partition
+
+    c2p = agglomerate_by_partition(m0.cell_centers(), m0.neighbors, 5)
+    ah = pd.AgglomerationHandler(m, c2p, degree=2)
+    A = assemble_sipg_matrix(ah)
+    Bn = assemble_sipg_banded(ah)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=ah.n_dofs))
+    assert np.allclose(np.asarray(A.matvec(x)), np.asarray(Bn.matvec(x)),
+                       atol=1e-11)
+    assert np.allclose(np.asarray(A.diagonal()), np.asarray(Bn.diagonal()),
+                       atol=1e-12)
+    # superset band structure also works (slots stay zero)
+    sup = np.unique(np.concatenate([Bn.offsets, [-7, 7]]))
+    Bs = assemble_sipg_banded(ah, offsets=sup)
+    assert np.allclose(np.asarray(Bs.matvec(x)), np.asarray(A.matvec(x)),
+                       atol=1e-11)
