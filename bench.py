@@ -23,6 +23,8 @@ def main():
     n = int(os.environ.get("BENCH_N", "64"))  # fine cells per direction
     degree = int(os.environ.get("BENCH_DEGREE", "1"))
     rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
+    cheb_deg = int(os.environ.get("BENCH_CHEB_DEG", "3"))
+    n_smooth = int(os.environ.get("BENCH_NSMOOTH", "5"))
 
     import jax
     import jax.numpy as jnp
@@ -30,7 +32,6 @@ def main():
     dtype = jnp.float32
 
     import polydeal_tpu as pd
-    from polydeal_tpu.agglomeration import RTreeAgglomerator
     from polydeal_tpu.assembly import (
         assemble_sipg_matrix,
         assemble_sipg_banded,
@@ -38,12 +39,14 @@ def main():
         build_volume_tables,
         build_face_tables,
     )
-    from polydeal_tpu.solvers import build_multigrid, build_rtree_hierarchy
+    from polydeal_tpu.solvers import build_multigrid, build_structured_hierarchy
 
     mesh = pd.hyper_cube(3, n)
-    agg = RTreeAgglomerator.build(mesh.cell_centers())
-    levels = list(range(1, agg.n_levels - 1))
-    handlers, parents = build_rtree_hierarchy(mesh, agg, levels, degree=degree)
+    # structured fast path: lexicographic levels -> 7 banded offsets +
+    # reshape transfers (the R-tree/SFC path has ~37 offsets = 5x SpMV
+    # bandwidth; use build_rtree_hierarchy for unstructured meshes)
+    handlers, parents, grid_shapes = build_structured_hierarchy(
+        mesh, n, degree=degree)
     ah = handlers[-1]
 
     u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
@@ -54,7 +57,9 @@ def main():
     vol = build_volume_tables(ah, dtype)
     faces = build_face_tables(ah, dtype)
     A0 = assemble_sipg_matrix(ah, dtype=dtype, vol=vol, faces=faces)
-    mg = build_multigrid(handlers, parents, A0, dtype=dtype)
+    mg = build_multigrid(handlers, parents, A0, dtype=dtype,
+                         grid_shapes=grid_shapes,
+                         chebyshev_degree=cheb_deg, n_smooth=n_smooth)
 
     # hot path: (1) assembly, (2) fine-operator relayout, (3) MG-CG solve.
     # mg is a pytree ARGUMENT of the jitted solve — big arrays must not be

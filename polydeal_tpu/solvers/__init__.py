@@ -6,6 +6,7 @@ from polydeal_tpu.solvers.multigrid import (
     build_embedding,
     build_multigrid,
     build_rtree_hierarchy,
+    build_structured_hierarchy,
     galerkin_coarsen,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "build_embedding",
     "build_multigrid",
     "build_rtree_hierarchy",
+    "build_structured_hierarchy",
     "galerkin_coarsen",
 ]

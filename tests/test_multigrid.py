@@ -134,3 +134,32 @@ def test_mg_distorted_grid():
     res = mg.solve_cg(b, rtol=1e-11)
     l2, _ = compute_global_error(hf, res.x, u_ex)
     assert float(l2) < 1e-10
+
+
+def test_structured_hierarchy_matches_rtree():
+    """Structured (lexicographic + reshape transfers) MG solves the same
+    system to the same solution as the generic path, with 2*dim+1 banded
+    offsets at every level."""
+    from polydeal_tpu.solvers import build_structured_hierarchy
+
+    m = pd.hyper_cube(2, 16)
+    handlers, parents, gss = build_structured_hierarchy(m, 16, degree=1)
+    hf = handlers[-1]
+    A = assemble_sipg_matrix(hf)
+    assert A.banded_offsets().shape[0] == 5  # 2*dim + 1
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    b = assemble_rhs(hf, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    mg = build_multigrid(handlers, parents, A, grid_shapes=gss)
+    res = mg.solve_cg(b, rtol=1e-10)
+    assert int(res.iterations) <= 16
+    # adjointness of the structured transfers
+    t = mg.transfers[-1]
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=handlers[-2].n_dofs))
+    v = jnp.asarray(rng.normal(size=handlers[-1].n_dofs))
+    assert abs(float(v @ t.prolong(u)) - float(t.restrict(v) @ u)) < 1e-11
+    # same L2 error as the generic hierarchy solve
+    from polydeal_tpu.postprocess import compute_global_error
+
+    l2, _ = compute_global_error(hf, res.x, u_ex)
+    assert abs(float(l2) - 0.056) < 0.002
