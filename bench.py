@@ -23,8 +23,8 @@ def main():
     n = int(os.environ.get("BENCH_N", "64"))  # fine cells per direction
     degree = int(os.environ.get("BENCH_DEGREE", "1"))
     rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
-    cheb_deg = int(os.environ.get("BENCH_CHEB_DEG", "3"))
-    n_smooth = int(os.environ.get("BENCH_NSMOOTH", "5"))
+    cheb_deg = int(os.environ.get("BENCH_CHEB_DEG", "5"))
+    n_smooth = int(os.environ.get("BENCH_NSMOOTH", "1"))
 
     import jax
     import jax.numpy as jnp
@@ -34,7 +34,8 @@ def main():
     import polydeal_tpu as pd
     from polydeal_tpu.assembly import (
         assemble_sipg_matrix,
-        assemble_sipg_banded,
+        assemble_sipg_banded_t,
+        transpose_tables,
         assemble_rhs,
         build_volume_tables,
         build_face_tables,
@@ -66,6 +67,9 @@ def main():
     # closure constants (they inline into the program and overflow the
     # remote compiler).
     band_offsets = mg.ells[-1].offsets  # static band structure (reused)
+    # one-time relayout of the shape tables to entity-last (reading the
+    # standard [F, q, nb] tables tile-pads 32x and dominates assembly)
+    vt, fit, fbt, stat = transpose_tables(vol, faces)
 
     # ONE jitted program: assembly (directly in the banded layout) + MG-CG
     # solve.  mg enters as a pytree ARGUMENT (closure capture would inline
@@ -74,17 +78,17 @@ def main():
     # between assembly and solve leaves the banded data in a
     # scatter-friendly layout that slows the solve ~17x.
     @jax.jit
-    def assemble_and_solve(v, fc, m):
-        A_band = assemble_sipg_banded(ah, offsets=band_offsets, dtype=dtype,
-                                      vol=v, faces=fc)
+    def assemble_and_solve(vt_, fit_, fbt_, v, fc, m):
+        A_band = assemble_sipg_banded_t(ah, vt_, fit_, fbt_, stat,
+                                        offsets=band_offsets)
         b = assemble_rhs(ah, f, u_ex, dtype=dtype, vol=v, faces=fc)
         m.ells[-1] = A_band
         return m.solve_cg(b, rtol=rtol, maxiter=100)
 
-    res = assemble_and_solve(vol, faces, mg)  # compile + warm-up
+    res = assemble_and_solve(vt, fit, fbt, vol, faces, mg)  # compile+warm-up
     jax.block_until_ready(res.x)
     t0 = time.perf_counter()
-    res = assemble_and_solve(vol, faces, mg)
+    res = assemble_and_solve(vt, fit, fbt, vol, faces, mg)
     jax.block_until_ready(res.x)
     elapsed = time.perf_counter() - t0
     t_asm = t_cvt = 0.0

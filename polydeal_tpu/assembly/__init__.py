@@ -2,6 +2,8 @@ from polydeal_tpu.assembly.sipg import (
     default_penalty_constant,
     assemble_sipg_matrix,
     assemble_sipg_banded,
+    assemble_sipg_banded_t,
+    transpose_tables,
     assemble_rhs,
     mass_matrix,
     project,
@@ -15,6 +17,8 @@ __all__ = [
     "default_penalty_constant",
     "assemble_sipg_matrix",
     "assemble_sipg_banded",
+    "assemble_sipg_banded_t",
+    "transpose_tables",
     "assemble_rhs",
     "mass_matrix",
     "project",

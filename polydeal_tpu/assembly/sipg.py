@@ -259,6 +259,111 @@ def assemble_sipg_matrix(
     )
 
 
+def transpose_tables(vol: VolumeTables, faces):
+    """Entity-LAST copies of the shape tables for the banded assembly.
+
+    Standard tables are [entity, q, nb(, dim)] — their tiny trailing dims
+    tile-pad 32x on TPU, so reading them dominates assembly.  This
+    one-time relayout (run it at setup, outside the hot loop) feeds
+    ``assemble_sipg_banded`` lane-aligned operands: [q, nb(, dim), entity].
+    """
+    fi, fb = faces
+
+    def t3(a):  # [F, q, i] -> [q, i, F]
+        return None if a is None else jnp.transpose(a, (1, 2, 0))
+
+    def t4(a):  # [F, q, i, d] -> [q, i, d, F]
+        return None if a is None else jnp.transpose(a, (1, 2, 3, 0))
+
+    def t2(a):  # [F, q] -> [q, F]
+        return None if a is None else a.T
+
+    # numeric arrays only — the static index arrays travel separately
+    # (dict pytree leaves get traced under jit, and slot computation needs
+    # them concrete)
+    vol_t = dict(B=t3(vol.B), G=t4(vol.G), w=t2(vol.w))
+    fi_t = dict(B0=t3(fi.B0), G0=t4(fi.G0), B1=t3(fi.B1), G1=t4(fi.G1),
+                w=t2(fi.w), n=t4(fi.n[:, :, None, :])[:, 0], h_f=fi.h_f)
+    fb_t = dict(B0=t3(fb.B0), G0=t4(fb.G0), w=t2(fb.w),
+                n=t4(fb.n[:, :, None, :])[:, 0], h_f=fb.h_f)
+    static = dict(cell2poly=vol.cell2poly, poly_in=fi.poly_in,
+                  poly_out=fi.poly_out, poly_b=fb.poly_in)
+    return vol_t, fi_t, fb_t, static
+
+
+def assemble_sipg_banded_t(
+    ah: AgglomerationHandler,
+    vol_t: dict,
+    fi_t: dict,
+    fb_t: dict,
+    static: dict,
+    offsets: np.ndarray,
+    penalty_constant: float | None = None,
+):
+    """Banded SIPG assembly over entity-last tables (see
+    :func:`transpose_tables`) — every operand and intermediate is
+    lane-aligned; this is the hot-path assembly for repeated
+    (time-stepping) use."""
+    from polydeal_tpu.sparse import BlockBanded
+
+    if penalty_constant is None:
+        penalty_constant = default_penalty_constant(ah.degree, ah.dim)
+    P, nb = ah.n_poly, ah.n_basis
+    pin = static["poly_in"].astype(np.int64)
+    pout = static["poly_out"].astype(np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_off = offsets.shape[0]
+    o0 = int(np.searchsorted(offsets, 0))
+    s_vol = o0 * P + static["cell2poly"].astype(np.int64)
+    s_m11 = o0 * P + pin
+    s_m22 = o0 * P + pout
+    s_m12 = np.searchsorted(offsets, pout - pin) * P + pin
+    s_m21 = np.searchsorted(offsets, pin - pout) * P + pout
+    slots = [s_vol, s_m11, s_m12, s_m21, s_m22]
+    has_b = static["poly_b"].shape[0] > 0
+    if has_b:
+        slots.append(o0 * P + static["poly_b"].astype(np.int64))
+    seg = jnp.asarray(np.concatenate(slots))
+
+    gamma_i = penalty_constant / fi_t["h_f"]  # [F]
+    gn0 = jnp.einsum("qidf,qdf->qif", fi_t["G0"], fi_t["n"])
+    gn1 = jnp.einsum("qidf,qdf->qif", fi_t["G1"], fi_t["n"])
+    w = fi_t["w"]
+    wg = w * gamma_i[None, :]
+
+    def blk(a, b, wgt):
+        return jnp.einsum("qif,qjf,qf->ijf", a, b, wgt)
+
+    B0, B1 = fi_t["B0"], fi_t["B1"]
+    vol_v = jnp.einsum("qidc,qjdc,qc->ijc", vol_t["G"], vol_t["G"],
+                       vol_t["w"])
+    m11 = -0.5 * blk(gn0, B0, w) - 0.5 * blk(B0, gn0, w) + blk(B0, B0, wg)
+    m12 = 0.5 * blk(gn0, B1, w) - 0.5 * blk(B0, gn1, w) - blk(B0, B1, wg)
+    m21 = -0.5 * blk(gn1, B0, w) + 0.5 * blk(B1, gn0, w) - blk(B1, B0, wg)
+    m22 = 0.5 * blk(gn1, B1, w) + 0.5 * blk(B1, gn1, w) + blk(B1, B1, wg)
+    vals = [vol_v, m11, m12, m21, m22]
+    if has_b:
+        gamma_b = penalty_constant / fb_t["h_f"]
+        gnb = jnp.einsum("qidf,qdf->qif", fb_t["G0"], fb_t["n"])
+        Bb, wb = fb_t["B0"], fb_t["w"]
+        mb = (-blk(Bb, gnb, wb) - blk(gnb, Bb, wb)
+              + blk(Bb, Bb, wb * gamma_b[None, :]))
+        vals.append(mb)
+    allv = jnp.concatenate(vals, axis=-1)
+    pieces = [
+        [
+            jax.ops.segment_sum(allv[i, j], seg,
+                                num_segments=n_off * P).reshape(n_off, 1, 1, P)
+            for j in range(nb)
+        ]
+        for i in range(nb)
+    ]
+    data = jnp.concatenate(
+        [jnp.concatenate(row, axis=2) for row in pieces], axis=1
+    )
+    return BlockBanded(data=data, offsets=offsets, n_block_cols=P)
+
+
 def assemble_sipg_banded(
     ah: AgglomerationHandler,
     offsets: np.ndarray | None = None,
