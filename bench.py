@@ -25,6 +25,7 @@ def main():
     rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
     cheb_deg = int(os.environ.get("BENCH_CHEB_DEG", "5"))
     n_smooth = int(os.environ.get("BENCH_NSMOOTH", "1"))
+    precond = os.environ.get("BENCH_PRECOND_DTYPE", "bfloat16")
 
     import jax
     import jax.numpy as jnp
@@ -58,9 +59,13 @@ def main():
     vol = build_volume_tables(ah, dtype)
     faces = build_face_tables(ah, dtype)
     A0 = assemble_sipg_matrix(ah, dtype=dtype, vol=vol, faces=faces)
+    import jax.numpy as _jnp
+
+    pdt = None if precond in ("", "none") else getattr(_jnp, precond)
     mg = build_multigrid(handlers, parents, A0, dtype=dtype,
                          grid_shapes=grid_shapes,
-                         chebyshev_degree=cheb_deg, n_smooth=n_smooth)
+                         chebyshev_degree=cheb_deg, n_smooth=n_smooth,
+                         precond_dtype=pdt)
 
     # hot path: (1) assembly, (2) fine-operator relayout, (3) MG-CG solve.
     # mg is a pytree ARGUMENT of the jitted solve — big arrays must not be

@@ -360,17 +360,22 @@ class Multigrid:
     dinvs_t: list = field(default_factory=list)  # [nb,P] per level (or flat)
     los: list = field(default_factory=list)  # smoothing interval lo per level
     his: list = field(default_factory=list)
+    # optional low-precision copies for the PRECONDITIONER only (bf16
+    # V-cycle + f32 CG operator: validated 22% faster, converges to the
+    # same 1e-8 tolerance — the preconditioner may be inexact)
+    lo_ells: list | None = None
+    lo_dinvs: list | None = None
 
     def tree_flatten(self):
         dyn = (self.matrices, self.transfers, self.coarse_lu, self.ells,
-               self.dinvs_t, self.los, self.his)
+               self.dinvs_t, self.los, self.his, self.lo_ells, self.lo_dinvs)
         return dyn, (self.n_smooth, self.chebyshev_degree)
 
     @classmethod
     def tree_unflatten(cls, aux, dyn):
         obj = cls.__new__(cls)
         (obj.matrices, obj.transfers, obj.coarse_lu, obj.ells,
-         obj.dinvs_t, obj.los, obj.his) = dyn
+         obj.dinvs_t, obj.los, obj.his, obj.lo_ells, obj.lo_dinvs) = dyn
         obj.n_smooth, obj.chebyshev_degree = aux
         return obj
 
@@ -382,6 +387,7 @@ class Multigrid:
         chebyshev_degree: int = 3,
         n_smooth: int = 5,
         smoothing_range: float = 15.0,
+        precond_dtype=None,
     ) -> "Multigrid":
         # banded conversion on device via static gather maps (the naive
         # in-XLA scatter tile-pads a [nnz, nb, nb] intermediate 32x and
@@ -414,6 +420,16 @@ class Multigrid:
         lams, coarse_lu, dinvs = _numeric_setup(ells, matrices[0])
         los = [None] + [lam / smoothing_range for lam in lams]
         his = [None] + [1.2 * lam for lam in lams]
+        lo_ells = lo_dinvs = None
+        if precond_dtype is not None:
+            lo_ells = [
+                type(e)(**{**{f: getattr(e, f) for f in
+                              ("offsets", "n_block_cols") if hasattr(e, f)},
+                           **({"cols": e.cols} if hasattr(e, "cols") else {}),
+                           "data": e.data.astype(precond_dtype)})
+                for e in ells
+            ]
+            lo_dinvs = [None] + [d.astype(precond_dtype) for d in dinvs[1:]]
         return cls(
             matrices=matrices,
             transfers=transfers,
@@ -424,6 +440,8 @@ class Multigrid:
             dinvs_t=dinvs,
             los=los,
             his=his,
+            lo_ells=lo_ells,
+            lo_dinvs=lo_dinvs,
         )
 
     @property
@@ -445,14 +463,18 @@ class Multigrid:
         (banded operator + uniform transfer), flat otherwise; layout
         conversions happen only at mixed-level boundaries."""
         if level == 0:
+            bl = b.astype(self.coarse_lu[0].dtype)
             if b.ndim == 2:
-                x = jax.scipy.linalg.lu_solve(self.coarse_lu, b.T.reshape(-1))
-                return x.reshape(-1, b.shape[0]).T
-            return jax.scipy.linalg.lu_solve(self.coarse_lu, b)
-        A = self.ells[level]
+                x = jax.scipy.linalg.lu_solve(self.coarse_lu, bl.T.reshape(-1))
+                return x.reshape(-1, b.shape[0]).T.astype(b.dtype)
+            return jax.scipy.linalg.lu_solve(self.coarse_lu, bl).astype(b.dtype)
+        use_lo = self.lo_ells is not None
+        A = (self.lo_ells if use_lo else self.ells)[level]
         is_t = b.ndim == 2
+        if use_lo:
+            b = b.astype(A.data.dtype)
         mv = A.matvec_t if is_t else A.matvec
-        dinv = self.dinvs_t[level]
+        dinv = (self.lo_dinvs if use_lo else self.dinvs_t)[level]
         if not is_t and dinv.ndim == 2:
             dinv = dinv.T.reshape(-1)
         sm = ChebyshevSmoother(A=mv, Minv=lambda r, d=dinv: d * r,
@@ -504,7 +526,7 @@ class Multigrid:
             nb = self.matrices[top].data.shape[-1]
             bt = self._to_t(top, b)
             res = cg_solve(A.matvec_t, bt,
-                           M=lambda r: self._cycle(top, r),
+                           M=lambda r: self._cycle(top, r).astype(r.dtype),
                            rtol=rtol, maxiter=maxiter)
             return CGResult(x=res.x.T.reshape(-1), iterations=res.iterations,
                             residual=res.residual)
@@ -520,6 +542,7 @@ def build_multigrid(
     smoothing_range: float = 20.0,
     mode: str = "direct",
     grid_shapes: list | None = None,
+    precond_dtype=None,
     dtype=jnp.float64,
 ) -> Multigrid:
     """Assemble the full MG preconditioner from a handler chain and the
@@ -591,4 +614,5 @@ def build_multigrid(
     ]
     return Multigrid.setup(matrices, transfers,
                            chebyshev_degree=chebyshev_degree,
-                           n_smooth=n_smooth, smoothing_range=smoothing_range)
+                           n_smooth=n_smooth, smoothing_range=smoothing_range,
+                           precond_dtype=precond_dtype)
