@@ -84,6 +84,7 @@ class MonodomainSolver:
     w_q: object  # [n_c, q] quadrature weights (JxW)
     x_q: object  # [n_c, q, dim]
     stim_mask: object  # [n_c, q]
+    A: object = None  # finest-level system matrix (Jacobi fallback path)
 
     @classmethod
     def build(cls, cfg: MonodomainConfig, dtype=None, mesh=None):
@@ -143,15 +144,13 @@ class MonodomainSolver:
             )
         else:
             mg = None
-            cls._A_jacobi = matrices[-1]
 
         vol = build_volume_tables(ah, dtype)
-        cls._A = matrices[-1]
         x0 = jnp.zeros(ah.dim, dtype=dtype)  # stimulus at the origin corner
         dist = jnp.linalg.norm(vol.x - x0, axis=-1)
         stim_mask = (dist < cfg.stimulus_radius).astype(dtype)
         return cls(cfg=cfg, handler=ah, mg=mg, B=vol.B, w_q=vol.w, x_q=vol.x,
-                   stim_mask=stim_mask)
+                   stim_mask=stim_mask, A=matrices[-1])
 
     # ------------------------------------------------------------------
     def initial_state(self):
@@ -186,11 +185,8 @@ class MonodomainSolver:
         bdf2 = cfg.time_stepping_scheme == "BDF2" and not first_step
 
         uq_n = self.u_at_quad(u_n)
-        if bdf2:
-            uq_nm1 = self.u_at_quad(u_nm1)
-            u_star = 2.0 * uq_n - uq_nm1  # extrapolation
-        else:
-            u_star = uq_n
+        uq_nm1 = self.u_at_quad(u_nm1) if bdf2 else None
+        u_star = 2.0 * uq_n - uq_nm1 if bdf2 else uq_n  # BDF2 extrapolation
 
         # gating update (pointwise at quadrature points,
         # reference update_w_and_ion)
@@ -205,10 +201,7 @@ class MonodomainSolver:
                          cfg.applied_current, 0.0)
         i_app = stim * self.stim_mask
 
-        if bdf2:
-            u_hist = (2.0 * uq_n - 0.5 * self.u_at_quad(u_nm1))
-        else:
-            u_hist = uq_n
+        u_hist = (2.0 * uq_n - 0.5 * uq_nm1) if bdf2 else uq_n
         integrand = (p.chi * p.Cm / dt) * u_hist - p.chi * i_ion + i_app
         r_cell = jnp.einsum("cqi,cq,cq->ci", self.B, self.w_q, integrand)
         reducer = getattr(self, "_reducer", None)
@@ -221,7 +214,7 @@ class MonodomainSolver:
             res = self.mg.solve_cg(rhs, rtol=cfg.solver.rtol,
                                    maxiter=cfg.solver.max_iterations)
         else:
-            A = type(self)._A_jacobi
+            A = self.A
             res = cg_solve(A.matvec, rhs,
                            M=block_jacobi_preconditioner(A.diag_blocks()),
                            rtol=cfg.solver.rtol,

@@ -76,8 +76,7 @@ def build_stokes_operators(ah, degree_u=None, dtype=None, delta=0.1):
 
     f_in = jnp.asarray(fi_u.poly_in)
     f_out = jnp.asarray(fi_u.poly_out)
-    Pq = P
-    B_diag2 = jax.ops.segment_sum(fblk(fi_p.B0, fi_u.B0, +1.0), f_in, num_segments=P)
+    B_diag2 =jax.ops.segment_sum(fblk(fi_p.B0, fi_u.B0, +1.0), f_in, num_segments=P)
     B_diag2 = B_diag2 + jax.ops.segment_sum(
         fblk(fi_p.B1, fi_u.B1, -1.0), f_out, num_segments=P)
     datas[0] = datas[0] + B_diag2
@@ -170,12 +169,8 @@ def solve_stokes_dense(ah, f_fn, g_fn, degree_u=None, delta=0.1, dtype=None):
     dim, nbv, nbp, P = meta["dim"], meta["nbv"], meta["nbp"], meta["P"]
     nU, nP = P * dim * nbv, P * nbp
 
-    As = np.asarray(A_s.to_dense())
     # component-major expansion of the scalar SIPG into the velocity block
     Afull = np.zeros((nU, nU))
-    for p_i in range(P):
-        pass  # filled via kron below
-    # rows of A_s couple (poly_i, jv) -> build with kron on the block level
     Adata = np.asarray(A_s.data)
     for k in range(Adata.shape[0]):
         r, c = A_s.rows[k], A_s.cols[k]

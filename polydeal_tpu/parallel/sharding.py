@@ -190,6 +190,7 @@ class ShardedSystem:
         coarse_lu = jax.scipy.linalg.lu_factor(jnp.asarray(full))
         return cls(mesh, levels, params, coarse_lu,
                    n_true_rows=mg.matrices[-1].n_block_rows,
+                   chebyshev_degree=mg.chebyshev_degree,
                    n_smooth=mg.n_smooth)
 
     def _in_specs(self):

@@ -82,9 +82,8 @@ def test_mg_preconditioned_cg_fast(dim, n, start):
     handlers, parents = make_hierarchy(n=n, degree=1, dim=dim, start=start)
     hf = handlers[-1]
     A = assemble_sipg_matrix(hf)
-    u_ex = lambda x: jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
-    f = lambda x: dim * jnp.pi**2 * u_ex(x) if dim == 2 else (
-        2 * jnp.pi**2 * u_ex(x))
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    f = lambda x: dim * jnp.pi**2 * u_ex(x)
     b = assemble_rhs(hf, f, u_ex)
     mg = build_multigrid(handlers, parents, A)
     res = mg.solve_cg(b, rtol=1e-9)

@@ -15,7 +15,7 @@ from polydeal_tpu.postprocess import compute_global_error
 from polydeal_tpu.solvers import build_multigrid, build_rtree_hierarchy
 
 
-def setup_problem(n=16, degree=1):
+def setup_problem(n=16, degree=1, **mg_kw):
     m0 = pd.hyper_cube(2, n)
     agg = RTreeAgglomerator.build(m0.cell_centers())
     handlers, parents = build_rtree_hierarchy(
@@ -25,7 +25,7 @@ def setup_problem(n=16, degree=1):
     A = assemble_sipg_matrix(hf)
     u_ex = lambda x: jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
     b = assemble_rhs(hf, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
-    mg = build_multigrid(handlers, parents, A)
+    mg = build_multigrid(handlers, parents, A, **mg_kw)
     return hf, A, b, mg, u_ex
 
 
@@ -61,7 +61,8 @@ def test_sharded_mg_cg_device_count_invariant(n_dev):
 
 
 def test_sharded_mg_matches_host_mg():
-    hf, A, b, mg, _ = setup_problem(n=16)
+    # non-default chebyshev_degree guards from_multigrid forwarding it
+    hf, A, b, mg, _ = setup_problem(n=16, chebyshev_degree=5, n_smooth=2)
     res_host = mg.solve_cg(b, rtol=1e-9)
     x_s, k_s, _ = ShardedSystem.from_multigrid(mg, make_mesh(8)).solve_cg(
         b, rtol=1e-9
