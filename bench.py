@@ -35,11 +35,13 @@ def main():
     import polydeal_tpu as pd
     from polydeal_tpu.assembly import (
         assemble_sipg_matrix,
-        assemble_sipg_banded_t,
-        transpose_tables,
         assemble_rhs,
         build_volume_tables,
         build_face_tables,
+    )
+    from polydeal_tpu.assembly.sipg import (
+        assemble_sipg_banded_direct,
+        build_banded_groups,
     )
     from polydeal_tpu.solvers import build_multigrid, build_structured_hierarchy
 
@@ -72,28 +74,27 @@ def main():
     # closure constants (they inline into the program and overflow the
     # remote compiler).
     band_offsets = mg.ells[-1].offsets  # static band structure (reused)
-    # one-time relayout of the shape tables to entity-last (reading the
-    # standard [F, q, nb] tables tile-pads 32x and dominates assembly)
-    vt, fit, fbt, stat = transpose_tables(vol, faces)
+    # slot-padded assembly tables: faces grouped by (offset, poly) so the
+    # band reduction is pure einsum/sum/roll — TPU has no fast scatter OR
+    # gather (both measured at <1% of HBM bandwidth at this size)
+    groups = build_banded_groups(ah, band_offsets, dtype)
 
     # ONE jitted program: assembly (directly in the banded layout) + MG-CG
-    # solve.  mg enters as a pytree ARGUMENT (closure capture would inline
-    # its arrays as constants and overflow the remote compiler); a fused
-    # program also lets XLA choose consistent layouts — a jit boundary
-    # between assembly and solve leaves the banded data in a
-    # scatter-friendly layout that slows the solve ~17x.
+    # solve.  mg and the tables enter as pytree ARGUMENTS (closure capture
+    # would inline them as constants and overflow the remote compiler); a
+    # fused program also lets XLA choose consistent layouts across the
+    # assembly/solve boundary.
     @jax.jit
-    def assemble_and_solve(vt_, fit_, fbt_, v, fc, m):
-        A_band = assemble_sipg_banded_t(ah, vt_, fit_, fbt_, stat,
-                                        offsets=band_offsets)
+    def assemble_and_solve(tabs, v, fc, m):
+        A_band = assemble_sipg_banded_direct(ah, tabs, offsets=band_offsets)
         b = assemble_rhs(ah, f, u_ex, dtype=dtype, vol=v, faces=fc)
-        m.ells[-1] = A_band
+        m.ells[-1] = A_band.with_imajor()  # Pallas SpMV layout
         return m.solve_cg(b, rtol=rtol, maxiter=100)
 
-    res = assemble_and_solve(vt, fit, fbt, vol, faces, mg)  # compile+warm-up
+    res = assemble_and_solve(groups, vol, faces, mg)
     jax.block_until_ready(res.x)
     t0 = time.perf_counter()
-    res = assemble_and_solve(vt, fit, fbt, vol, faces, mg)
+    res = assemble_and_solve(groups, vol, faces, mg)
     jax.block_until_ready(res.x)
     elapsed = time.perf_counter() - t0
     t_asm = t_cvt = 0.0

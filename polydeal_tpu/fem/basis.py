@@ -95,6 +95,24 @@ class Basis:
     def eval_with_grad(self, points):
         return self.eval(points), self.grad(points)
 
+    # -- entity-LAST (transposed) evaluation -------------------------
+    # points [..., dim, P] -> values [..., nb, P] / grads
+    # [..., nb, dim, P].  The lane axis P stays minor throughout so no
+    # intermediate ever has a tiny trailing dim (which tile-pads up to
+    # 32x on TPU).  Generic fallback transposes; LegendreDGP overrides
+    # with a natively P-minor recurrence.
+    def eval_t(self, points):
+        import jax.numpy as jnp
+
+        p = jnp.moveaxis(points, -2, -1)  # [..., P, dim]
+        return jnp.moveaxis(self.eval(p), -2, -1)
+
+    def grad_t(self, points):
+        import jax.numpy as jnp
+
+        p = jnp.moveaxis(points, -2, -1)
+        return jnp.moveaxis(self.grad(p), -3, -1)  # [..., nb, dim, P]
+
 
 @dataclass(frozen=True)
 class LegendreDGP(Basis):
@@ -134,6 +152,57 @@ class LegendreDGP(Basis):
                 g = g * tab[..., d, :][..., E[:, d]]
             comps.append(g)
         return jnp.stack(comps, axis=-1)
+
+    def _tables_t(self, points):
+        """points [..., dim, P] -> per-dim LISTS of [..., P] value/deriv
+        arrays (the recurrence runs directly on lane-minor arrays —
+        never stacking a tiny minor axis)."""
+        deg = self.degree
+        scale = np.sqrt(2.0 * np.arange(deg + 1) + 1.0)
+        vals, ders = [], []
+        for d in range(self.dim):
+            x = points[..., d, :]
+            t = 2.0 * x - 1.0
+            v = [jnp.ones_like(x)]
+            dv = [jnp.zeros_like(x)]
+            if deg >= 1:
+                v.append(t)
+                dv.append(jnp.ones_like(x))
+            for k in range(1, deg):
+                v.append(((2 * k + 1) * t * v[k] - k * v[k - 1]) / (k + 1))
+                dv.append(dv[k - 1] + (2 * k + 1) * v[k])
+            vals.append([v[k] * scale[k] for k in range(deg + 1)])
+            ders.append([dv[k] * (2.0 * scale[k]) for k in range(deg + 1)])
+        return vals, ders
+
+    def eval_t(self, points):
+        """points [..., dim, P] -> [..., nb, P], lane axis P minor."""
+        vals, _ = self._tables_t(points)
+        E = self.exponents
+        out = []
+        for i in range(E.shape[0]):
+            g = vals[0][E[i, 0]]
+            for d in range(1, self.dim):
+                g = g * vals[d][E[i, d]]
+            out.append(g)
+        return jnp.stack(out, axis=-2)
+
+    def grad_t(self, points):
+        """points [..., dim, P] -> [..., nb, dim, P]."""
+        vals, ders = self._tables_t(points)
+        E = self.exponents
+        rows = []
+        for i in range(E.shape[0]):
+            comps = []
+            for e in range(self.dim):
+                g = None
+                for d in range(self.dim):
+                    tab = ders if d == e else vals
+                    t = tab[d][E[i, d]]
+                    g = t if g is None else g * t
+                comps.append(g)
+            rows.append(jnp.stack(comps, axis=-2))  # [..., dim, P]
+        return jnp.stack(rows, axis=-3)  # [..., nb, dim, P]
 
 
 def _gauss_lobatto_01(n: int) -> np.ndarray:

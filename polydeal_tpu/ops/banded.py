@@ -1,0 +1,225 @@
+"""Pallas TPU kernel for the banded block SpMV — the hot op of every
+solver in the framework.
+
+The banded block format (see ``polydeal_tpu.sparse.BlockBanded``) stores
+the DG system matrix as ``data[o, i, j, p]`` multiplying
+``x[j, p + offsets[o]]`` — the TPU-native recast of the reference's
+Trilinos SpMV (reference source/agglomeration_handler.cc:910-1022 builds
+the sparsity; Trilinos/Epetra performs the SpMV).  The XLA lowering of
+the shifted-einsum formulation tops out near ~12% of HBM bandwidth
+(measured v5e: 96 GB/s f32, 35 GB/s bf16 — the tiny n_b sublane axis
+tile-pads 2–4x and every offset becomes a separate fusion over y).  This
+kernel streams the matrix data exactly once at full DMA bandwidth with
+the whole x vector resident in VMEM.
+
+Lane alignment: Mosaic only allows 128-aligned dynamic lane slices, but
+band offsets are arbitrary (±1, ±m, ±m², …).  Each shifted window is
+therefore assembled from two ALIGNED tile loads combined with a lane
+rotate (`pltpu.roll`) and an iota select — a funnel shift:
+``off = q*T + r`` →  ``w = select(lane < T-r, roll(a, -r), roll(b, -r))``
+with a, b the tiles at t+q and t+q+1.
+
+Layout contract: data flattened to [n_off*nb*nb, P] (row-major over
+(o, i, j)); x in the transposed lane-aligned layout [nb, P]; f32
+accumulation regardless of data dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+__all__ = ["banded_matvec_t_pallas", "pick_tile", "pallas_supported"]
+
+
+def pick_tile(P: int, n_rows: int, itemsize: int,
+              vmem_budget: int = 4 * 2**20) -> int | None:
+    """Largest power-of-two lane tile T (multiple of 128) dividing P such
+    that the double-buffered data block fits the VMEM budget."""
+    t = 4096
+    while t >= 128:
+        if P % t == 0 and 2 * n_rows * t * itemsize <= vmem_budget:
+            return t
+        t //= 2
+    return None
+
+
+def _halo(offsets, T: int) -> int:
+    H = max(max(abs(int(o)) for o in offsets), 1)
+    return -(-H // T) * T  # round up to a whole number of tiles
+
+
+def pallas_supported(P: int, n_off: int, nb: int, max_off: int,
+                     itemsize: int) -> bool:
+    """x (+halo) must fit in VMEM alongside the streamed data block."""
+    T = pick_tile(P, n_off * nb * nb, itemsize)
+    if T is None:
+        return False
+    Hp = -(-max(max_off, 1) // T) * T
+    sublanes = -(-nb // 8) * 8
+    x_bytes = sublanes * (P + 2 * Hp) * 4  # x kept in f32
+    return x_bytes <= 9 * 2**20
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("offsets_t", "nb", "interpret"),
+)
+def _banded_matvec_imajor_impl(data_i, xpad, offsets_t, nb, interpret):
+    """i-major kernel: data_i [nb * n_off * nb, P], rows ordered
+    (i, k, j).  Per tile the 7 shifted x windows are built ONCE and
+    stacked into Xg [n_off*nb, T]; each output row i is then a single
+    full-sublane elementwise multiply + sublane reduction against the
+    contiguous [n_off*nb, T] slab of data — ~3.5x fewer VPU ops than the
+    per-(k,i) formulation, which was compute-bound."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets = offsets_t
+    n_off = len(offsets)
+    n_rows, P = data_i.shape
+    R = n_off * nb
+    T = pick_tile(P, n_rows, data_i.dtype.itemsize)
+    assert T is not None
+    Hp = _halo(offsets, T)
+
+    def kernel(x_ref, d_ref, out_ref):
+        t = pl.program_id(0)
+
+        def window(off):
+            q, r = divmod(off, T)
+            a = x_ref[:, pl.ds((t + q) * T + Hp, T)]
+            if r == 0:
+                return a
+            b = x_ref[:, pl.ds((t + q + 1) * T + Hp, T)]
+            ar = pltpu.roll(a, T - r, axis=1)
+            br = pltpu.roll(b, T - r, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
+            return jnp.where(lane < T - r, ar, br)
+
+        Xg = jnp.concatenate([window(o) for o in offsets], axis=0)  # [R, T]
+        rows = []
+        for i in range(nb):
+            Di = d_ref[i * R:(i + 1) * R, :].astype(jnp.float32)
+            rows.append(jnp.sum(Di * Xg, axis=0, keepdims=True))
+        out_ref[:, :] = jnp.concatenate(rows, axis=0)
+
+    grid = (P // T,)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, P), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rows, T), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, T), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xpad, data_i)
+
+
+def banded_matvec_t_imajor(data_i, offsets, nb: int, xt, *,
+                           interpret: bool = False):
+    """Pallas banded SpMV over the i-major flattened data
+    [nb*n_off*nb, P] (row (i, k, j)); xt [nb, P]."""
+    import jax.numpy as jnp
+
+    offsets = tuple(int(o) for o in np.asarray(offsets))
+    T = pick_tile(data_i.shape[1], data_i.shape[0], data_i.dtype.itemsize)
+    assert T is not None, "no valid lane tile for this P"
+    Hp = _halo(offsets, T)
+    xpad = jnp.pad(xt.astype(jnp.float32), ((0, 0), (Hp, Hp)))
+    y = _banded_matvec_imajor_impl(data_i, xpad, offsets, nb, interpret)
+    return y.astype(xt.dtype)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("offsets_t", "nb", "interpret"),
+)
+def _banded_matvec_impl(data2, xpad, offsets_t, nb, interpret):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    offsets = offsets_t
+    n_off = len(offsets)
+    n_rows, P = data2.shape
+    T = pick_tile(P, n_rows, data2.dtype.itemsize)
+    assert T is not None
+    Hp = _halo(offsets, T)
+
+    def kernel(x_ref, d_ref, out_ref):
+        t = pl.program_id(0)
+
+        def window(off):
+            """[nb, T] slice of x starting at lane t*T + off (+halo),
+            from two aligned tile loads + funnel shift."""
+            q, r = divmod(off, T)
+            a = x_ref[:, pl.ds((t + q) * T + Hp, T)]
+            if r == 0:
+                return a
+            b = x_ref[:, pl.ds((t + q + 1) * T + Hp, T)]
+            # lane rotate by -r  ==  +(T - r) (pltpu.roll wants shift >= 0)
+            ar = pltpu.roll(a, T - r, axis=1)
+            br = pltpu.roll(b, T - r, axis=1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
+            return jnp.where(lane < T - r, ar, br)
+
+        rows = []
+        for i in range(nb):
+            acc = None
+            for k in range(n_off):
+                xw = window(offsets[k])
+                r0 = (k * nb + i) * nb
+                d = d_ref[r0:r0 + nb, :].astype(jnp.float32)  # [nb, T]
+                contrib = jnp.sum(d * xw, axis=0, keepdims=True)
+                acc = contrib if acc is None else acc + contrib
+            rows.append(acc)
+        out_ref[:, :] = jnp.concatenate(rows, axis=0)
+
+    grid = (P // T,)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb, P), jnp.float32),
+        grid=grid,
+        in_specs=[
+            # the whole padded x stays resident in VMEM across tiles
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_rows, T), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, T), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xpad, data2)
+    return out
+
+
+def banded_matvec_t_pallas(data, offsets: np.ndarray, xt, *,
+                           interpret: bool = False):
+    """y[i, p] = sum_{o,j} data[o,i,j,p] * x[j, p + offsets[o]].
+
+    ``data`` [n_off, nb, nb, P] (any float dtype — accumulation is f32),
+    ``xt`` [nb, P].  Out-of-range column indices read zero-padded halo
+    values; the stored zero blocks at boundary rows make that exact
+    (same contract as the roll-based XLA path in BlockBanded.matvec_t).
+    """
+    import jax.numpy as jnp
+
+    n_off, nb, _, P = data.shape
+    offsets = tuple(int(o) for o in np.asarray(offsets))
+    n_rows = n_off * nb * nb
+    T = pick_tile(P, n_rows, data.dtype.itemsize)
+    assert T is not None, "no valid lane tile for this P"
+    Hp = _halo(offsets, T)
+    xpad = jnp.pad(xt.astype(jnp.float32), ((0, 0), (Hp, Hp)))
+    data2 = data.reshape(n_rows, P)
+    y = _banded_matvec_impl(data2, xpad, offsets, nb, interpret)
+    return y.astype(xt.dtype)

@@ -398,6 +398,18 @@ class Multigrid:
             if A.banded_offsets().shape[0] <= 96 else A.to_ell()
             for A in matrices
         ]
+        # attach the i-major copy driving the Pallas SpMV on big levels
+        # (small levels are latency-bound — kernel launch would lose)
+        from polydeal_tpu.sparse import BlockBanded
+
+        def _imaj(e):
+            if (isinstance(e, BlockBanded)
+                    and e.data.shape[-1] >= 32768
+                    and e.data.shape[-1] % 128 == 0):
+                return jax.jit(lambda x: x.with_imajor())(e)
+            return e
+
+        ells = [_imaj(e) for e in ells]
 
         @jax.jit
         def _numeric_setup(ells, A0):
@@ -422,13 +434,16 @@ class Multigrid:
         his = [None] + [1.2 * lam for lam in lams]
         lo_ells = lo_dinvs = None
         if precond_dtype is not None:
-            lo_ells = [
-                type(e)(**{**{f: getattr(e, f) for f in
-                              ("offsets", "n_block_cols") if hasattr(e, f)},
-                           **({"cols": e.cols} if hasattr(e, "cols") else {}),
-                           "data": e.data.astype(precond_dtype)})
-                for e in ells
-            ]
+
+            def _lo(e):
+                if isinstance(e, BlockBanded):
+                    lo = BlockBanded(e.data.astype(precond_dtype),
+                                     e.offsets, e.n_block_cols)
+                    return _imaj(lo)
+                return type(e)(data=e.data.astype(precond_dtype),
+                               cols=e.cols, n_block_cols=e.n_block_cols)
+
+            lo_ells = [jax.jit(_lo)(e) for e in ells]
             lo_dinvs = [None] + [d.astype(precond_dtype) for d in dinvs[1:]]
         return cls(
             matrices=matrices,

@@ -299,17 +299,43 @@ class BlockBanded:
     data: jnp.ndarray  # [n_off, nb, nb, P]
     offsets: np.ndarray  # [n_off] static int64
     n_block_cols: int
+    # optional i-major flattened copy [nb*n_off*nb, P] (rows (i, k, j)):
+    # the layout of the Pallas SpMV kernel (polydeal_tpu/ops/banded.py),
+    # which streams matrix data at full HBM bandwidth.  Built by
+    # with_imajor(); matvec_t uses it automatically on TPU.
+    data_i: jnp.ndarray | None = None
 
     def tree_flatten(self):
         from polydeal_tpu.utils.static import wrap_static
 
-        return (self.data,), (wrap_static(self.offsets), self.n_block_cols)
+        return (self.data, self.data_i), (wrap_static(self.offsets),
+                                          self.n_block_cols)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         from polydeal_tpu.utils.static import unwrap_static
 
-        return cls(children[0], unwrap_static(aux[0]), aux[1])
+        return cls(children[0], unwrap_static(aux[0]), aux[1], children[1])
+
+    def with_imajor(self) -> "BlockBanded":
+        """Attach the i-major copy used by the Pallas SpMV hot path."""
+        n_off, nb = self.data.shape[0], self.data.shape[1]
+        di = jnp.transpose(self.data, (1, 0, 2, 3)).reshape(
+            nb * n_off * nb, -1)
+        return BlockBanded(self.data, self.offsets, self.n_block_cols, di)
+
+    def _pallas_ok(self) -> bool:
+        import jax
+
+        from polydeal_tpu.ops.banded import pallas_supported
+
+        if self.data_i is None or jax.default_backend() != "tpu":
+            return False
+        n_off, nb = self.data.shape[0], self.data.shape[1]
+        return pallas_supported(
+            self.data.shape[-1], n_off, nb,
+            int(np.abs(self.offsets).max()) if self.offsets.size else 1,
+            self.data.dtype.itemsize)
 
     @property
     def n_block_rows(self) -> int:
@@ -330,6 +356,11 @@ class BlockBanded:
         The zero-copy hot path: operands stay lane-aligned end to end —
         keep solver state in this layout to avoid the [P, nb] tile-padded
         round trips (each costs more than the SpMV itself)."""
+        if self._pallas_ok():
+            from polydeal_tpu.ops.banded import banded_matvec_t_imajor
+
+            return banded_matvec_t_imajor(self.data_i, self.offsets,
+                                          self.data.shape[1], xt)
         y = jnp.zeros_like(xt)
         for k, o in enumerate(self.offsets):
             xs = jnp.roll(xt, -int(o), axis=1) if o != 0 else xt

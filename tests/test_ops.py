@@ -1,0 +1,110 @@
+"""Pallas banded-SpMV kernel and slot-padded direct assembly tests.
+
+The Pallas kernels run in interpret mode on CPU (the TPU path is
+exercised by bench.py on hardware); the direct assembly must agree with
+the block-COO reference to round-off on structured AND irregular
+agglomerations.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import polydeal_tpu as pd
+from polydeal_tpu.assembly import assemble_sipg_matrix
+from polydeal_tpu.assembly.sipg import (
+    assemble_sipg_banded_direct,
+    build_banded_groups,
+)
+from polydeal_tpu.fem.basis import LegendreDGP
+from polydeal_tpu.ops.banded import (
+    banded_matvec_t_imajor,
+    banded_matvec_t_pallas,
+)
+from polydeal_tpu.solvers import build_structured_hierarchy
+
+
+def _random_banded(n_off, nb, P, offsets, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal((n_off, nb, nb, P)).astype(np.float32)
+    for k, o in enumerate(offsets):
+        if o < 0:
+            data[k, :, :, : (-o)] = 0
+        if o > 0:
+            data[k, :, :, P - o:] = 0
+    xt = rng.standard_normal((nb, P)).astype(np.float32)
+    return data, xt
+
+
+def _ref_matvec(data, offsets, xt):
+    y = jnp.zeros_like(xt)
+    for k, o in enumerate(offsets):
+        xs = jnp.roll(xt, -int(o), axis=1) if o else xt
+        y = y + jnp.einsum("ijp,jp->ip", data[k], xs)
+    return y
+
+
+@pytest.mark.parametrize("offsets", [(-32, -1, 0, 1, 32),
+                                     (-40, -7, -1, 0, 1, 7, 40)])
+def test_pallas_banded_matvec_interpret(offsets):
+    offsets = np.array(offsets)
+    data, xt = _random_banded(len(offsets), 4, 512, offsets)
+    y0 = _ref_matvec(jnp.asarray(data), offsets, jnp.asarray(xt))
+    y1 = banded_matvec_t_pallas(jnp.asarray(data), offsets,
+                                jnp.asarray(xt), interpret=True)
+    assert float(jnp.abs(y0 - y1).max() / jnp.abs(y0).max()) < 1e-5
+
+
+def test_pallas_imajor_matvec_interpret():
+    offsets = np.array([-32, -1, 0, 1, 32])
+    data, xt = _random_banded(5, 4, 512, offsets)
+    dj = jnp.asarray(data)
+    di = jnp.transpose(dj, (1, 0, 2, 3)).reshape(4 * 5 * 4, 512)
+    y0 = _ref_matvec(dj, offsets, jnp.asarray(xt))
+    y1 = banded_matvec_t_imajor(di, offsets, 4, jnp.asarray(xt),
+                                interpret=True)
+    assert float(jnp.abs(y0 - y1).max() / jnp.abs(y0).max()) < 1e-5
+
+
+def test_eval_t_grad_t_match():
+    b = LegendreDGP(3, 3)
+    pts = np.random.default_rng(1).random((5, 4, 3, 7))
+    B1 = np.moveaxis(np.asarray(b.eval(np.moveaxis(pts, 2, -1))), -1, -2)
+    B2 = np.asarray(b.eval_t(jnp.asarray(pts)))
+    assert np.abs(B1 - B2).max() < 1e-13
+    G1 = np.moveaxis(np.asarray(b.grad(np.moveaxis(pts, 2, -1))),
+                     (2, 3, 4), (4, 2, 3))
+    G2 = np.asarray(b.grad_t(jnp.asarray(pts)))
+    assert np.abs(G1 - G2).max() < 1e-13
+
+
+def test_direct_assembly_structured():
+    mesh = pd.hyper_cube(3, 4)
+    handlers, _, _ = build_structured_hierarchy(mesh, 4, degree=1)
+    ah = handlers[-1]
+    A = assemble_sipg_matrix(ah)
+    offsets = A.banded_offsets()
+    ref = A.to_banded()
+    tabs = build_banded_groups(ah, offsets)
+    B = assemble_sipg_banded_direct(ah, tabs, offsets)
+    err = float(jnp.abs(ref.data - B.data).max()
+                / jnp.abs(ref.data).max())
+    assert err < 1e-12
+
+
+def test_direct_assembly_irregular():
+    from polydeal_tpu.agglomeration import agglomerate_by_partition
+
+    mesh = pd.hyper_cube(2, 8)
+    c2p = agglomerate_by_partition(mesh.cell_centers(), mesh.neighbors, 6)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=2)
+    A = assemble_sipg_matrix(ah)
+    offsets = A.banded_offsets()
+    ref = A.to_banded()
+    tabs = build_banded_groups(ah, offsets)
+    B = assemble_sipg_banded_direct(ah, tabs, offsets)
+    err = float(jnp.abs(ref.data - B.data).max()
+                / jnp.abs(ref.data).max())
+    assert err < 1e-12
