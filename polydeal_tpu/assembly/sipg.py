@@ -48,6 +48,21 @@ def default_penalty_constant(degree: int, dim: int) -> float:
     return 10.0 * (degree + dim) * (degree + 1)
 
 
+def dirichlet_face_mask(ah, dirichlet_ids) -> np.ndarray:
+    """Static bool mask over ah.faces.boundary() rows: True = Dirichlet.
+
+    ``dirichlet_ids=None`` means Dirichlet everywhere (the historical
+    default); otherwise only faces whose boundary id is listed get the
+    Nitsche terms — the per-id boundary handling of the reference
+    (utils.h:1647-1659 Neumann no-op, examples/3D_piston.cc)."""
+    fb = ah.faces.boundary()
+    if dirichlet_ids is None:
+        return np.ones(fb.n_faces, dtype=bool)
+    bid = (fb.boundary_id if fb.boundary_id is not None
+           else np.zeros(fb.n_faces, dtype=np.int32))
+    return np.isin(bid, np.asarray(list(dirichlet_ids)))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class VolumeTables:
@@ -206,6 +221,7 @@ def assemble_sipg_matrix(
     dtype=jnp.float64,
     vol: VolumeTables | None = None,
     faces: tuple[FaceTables, FaceTables] | None = None,
+    dirichlet_ids=None,
 ) -> BlockMatrix:
     """Assemble the SIPG Laplace matrix as a BlockMatrix.
 
@@ -248,10 +264,16 @@ def assemble_sipg_matrix(
         datas += [M12m, M21m]
 
     if include_boundary and fb.poly_in.shape[0] > 0:
-        Mb = _boundary_block(fb, penalty_constant)
-        A_diag = A_diag + jax.ops.segment_sum(
-            Mb, jnp.asarray(fb.poly_in), num_segments=P
-        )
+        sel = np.where(dirichlet_face_mask(ah, dirichlet_ids))[0]
+        if sel.shape[0]:
+            fbd = FaceTables(B0=fb.B0[sel], G0=fb.G0[sel], B1=None, G1=None,
+                             w=fb.w[sel], n=fb.n[sel], x=fb.x[sel],
+                             h_f=fb.h_f[sel], poly_in=fb.poly_in[sel],
+                             poly_out=None)
+            Mb = _boundary_block(fbd, penalty_constant)
+            A_diag = A_diag + jax.ops.segment_sum(
+                Mb, jnp.asarray(fbd.poly_in), num_segments=P
+            )
 
     data = jnp.concatenate([A_diag] + datas, axis=0)
     return BlockMatrix.from_blocks(
@@ -365,7 +387,7 @@ def assemble_sipg_banded_t(
 
 
 def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
-                        dtype=jnp.float64, basis=None):
+                        dtype=jnp.float64, basis=None, dirichlet_ids=None):
     """Slot-padded tables: the scatter-AND-gather-free banded assembly
     inputs.
 
@@ -431,7 +453,7 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
         rows = np.where(interior & (off_of == o))[0]
         if rows.size:
             groups[o] = face_group(rows, ft.poly_in[rows], both=True)
-    b_rows = np.where(ft.is_boundary)[0]
+    b_rows = np.where(ft.is_boundary)[0][dirichlet_face_mask(ah, dirichlet_ids)]
     bdry = face_group(b_rows, ft.poly_in[b_rows], both=False) \
         if b_rows.size else None
 
@@ -459,11 +481,21 @@ def assemble_sipg_banded_direct(
     offsets: np.ndarray,
     penalty_constant: float | None = None,
     basis=None,
+    use_pallas: bool | None = None,
 ):
     """Banded SIPG assembly over slot-padded tables (see
     :func:`build_banded_groups`) — pure einsum/sum/roll, no scatters or
     gathers anywhere.  Measured ~100x faster than segment-sum / gather
-    reductions on TPU at 10^6 DoF (which run at <1% of HBM bandwidth)."""
+    reductions on TPU at 10^6 DoF (which run at <1% of HBM bandwidth).
+
+    On TPU with C=1 groups (one fine face per band slot — the
+    structured / trivial-agglomeration case) the face/volume block
+    computation runs in Pallas kernels (ops/sipg_kernels.py) that keep
+    basis evaluation and the q-contractions in registers — the XLA
+    einsum lowering materializes [nb,nb,q,P] broadcast intermediates at
+    ~8% of bandwidth."""
+    import jax as _jax
+
     from polydeal_tpu.sparse import BlockBanded
 
     basis = basis or ah.basis
@@ -472,6 +504,45 @@ def assemble_sipg_banded_direct(
     P, nb = ah.n_poly, ah.n_basis
     offsets = np.asarray(offsets, dtype=np.int64)
     ext_t = tables["ext_t"]  # [dim, P]
+
+    if use_pallas is None:
+        use_pallas = _jax.default_backend() == "tpu"
+    pallas_ok = (
+        use_pallas
+        and ah.family == "dgp"
+        and P % 128 == 0
+        and tables["vol"]["pts"].shape[0] == 1
+        and all(g["pts_in"].shape[0] == 1
+                for g in tables["groups"].values())
+        and jnp.zeros(0, dtype=tables["vol"]["w"].dtype).dtype
+        == jnp.float32
+    )
+    if pallas_ok:
+        from polydeal_tpu.ops.sipg_kernels import (
+            face_group_blocks_pallas,
+            volume_blocks_pallas,
+        )
+
+        diag = volume_blocks_pallas(
+            tables["vol"], ext_t, ah.degree, ah.dim).reshape(nb, nb, P)
+        rows = {int(o): None for o in offsets}
+        for o, g in tables["groups"].items():
+            m11, m12, m21, m22 = face_group_blocks_pallas(
+                g, ext_t, o, ah.degree, ah.dim, penalty_constant)
+            diag = diag + m11.reshape(nb, nb, P) \
+                + jnp.roll(m22.reshape(nb, nb, P), o, axis=-1)
+            m12r = m12.reshape(nb, nb, P)
+            rows[o] = m12r if rows[o] is None else rows[o] + m12r
+            m21r = jnp.roll(m21.reshape(nb, nb, P), o, axis=-1)
+            rows[-o] = m21r if rows[-o] is None else rows[-o] + m21r
+        diag = diag + _boundary_band_xla(ah, tables, penalty_constant,
+                                         basis, ext_t, nb, P)
+        zero = jnp.zeros((nb, nb, P), dtype=diag.dtype)
+        data = jnp.stack(
+            [diag if o == 0 else (rows[int(o)] if rows[int(o)] is not None
+                                  else zero)
+             for o in offsets], axis=0)
+        return BlockBanded(data=data, offsets=offsets, n_block_cols=P)
 
     def eval_tables(pts):
         """pts [C, q, d, P] -> B [C, q, nb, P], G [C, q, nb, d, P] via
@@ -514,18 +585,8 @@ def assemble_sipg_banded_direct(
         m21r = jnp.roll(m21, o, axis=-1)
         rows[-o] = m21r if rows[-o] is None else rows[-o] + m21r
 
-    if tables["bdry"] is not None:
-        g = tables["bdry"]
-        Bb, Gbu = eval_tables(g["pts_in"])
-        Gb = real_grad(Gbu, ext_t)
-        n, w = g["n"], g["w"]
-        gamma = penalty_constant / g["h_f"]
-        gnb = jnp.einsum("cqidp,cqdp->cqip", Gb, n)
-        wg = w * gamma[:, None, :]
-        diag = diag + (
-            -jnp.einsum("cqip,cqjp,cqp->ijp", Bb, gnb, w)
-            - jnp.einsum("cqip,cqjp,cqp->ijp", gnb, Bb, w)
-            + jnp.einsum("cqip,cqjp,cqp->ijp", Bb, Bb, wg))
+    diag = diag + _boundary_band_xla(ah, tables, penalty_constant, basis,
+                                     ext_t, nb, P)
 
     zero = jnp.zeros((nb, nb, P), dtype=diag.dtype)
     data = jnp.stack(
@@ -533,6 +594,24 @@ def assemble_sipg_banded_direct(
                               else zero)
          for o in offsets], axis=0)
     return BlockBanded(data=data, offsets=offsets, n_block_cols=P)
+
+
+def _boundary_band_xla(ah, tables, penalty_constant, basis, ext_t, nb, P):
+    """Boundary Nitsche contribution to the diagonal band row (XLA
+    einsums — boundary face counts are a surface term, too small to be
+    worth a kernel)."""
+    if tables["bdry"] is None:
+        return jnp.zeros((nb, nb, P), dtype=tables["vol"]["w"].dtype)
+    g = tables["bdry"]
+    Bb = basis.eval_t(g["pts_in"])
+    Gb = basis.grad_t(g["pts_in"]) / ext_t[None, None, None, :, :]
+    n, w = g["n"], g["w"]
+    gamma = penalty_constant / g["h_f"]
+    gnb = jnp.einsum("cqidp,cqdp->cqip", Gb, n)
+    wg = w * gamma[:, None, :]
+    return (-jnp.einsum("cqip,cqjp,cqp->ijp", Bb, gnb, w)
+            - jnp.einsum("cqip,cqjp,cqp->ijp", gnb, Bb, w)
+            + jnp.einsum("cqip,cqjp,cqp->ijp", Bb, Bb, wg))
 
 
 def banded_gather_maps(ah: AgglomerationHandler, static: dict,
@@ -777,12 +856,17 @@ def assemble_rhs(
     dtype=jnp.float64,
     vol: VolumeTables | None = None,
     faces: tuple[FaceTables, FaceTables] | None = None,
+    dirichlet_ids=None,
+    neumann_fn=None,
 ) -> jnp.ndarray:
     """RHS vector: ∫ f v + boundary consistency/penalty terms for the
-    Dirichlet datum g: ∫_∂Ω (-∇v·n + gamma v) g.
+    Dirichlet datum g: ∫_Γ_D (-∇v·n + gamma v) g, plus the Neumann term
+    ∫_Γ_N g_N v on non-Dirichlet faces.
 
     ``f_fn`` / ``g_fn`` map [..., dim] real coordinates to [...] values
-    (jax-traceable).  ``g_fn=None`` means homogeneous Dirichlet.
+    (jax-traceable); ``neumann_fn(x, n)`` is the flux datum ∂u/∂n = g_N.
+    ``g_fn=None`` means homogeneous Dirichlet; ``dirichlet_ids=None``
+    means every boundary face is Dirichlet.
     """
     if penalty_constant is None:
         penalty_constant = default_penalty_constant(ah.degree, ah.dim)
@@ -797,14 +881,26 @@ def assemble_rhs(
     r_cell = jnp.einsum("cqi,cq,cq->ci", vol.B, vol.w, fvals)
     rhs = jax.ops.segment_sum(r_cell, jnp.asarray(vol.cell2poly), num_segments=P)
 
-    if g_fn is not None and fb.poly_in.shape[0] > 0:
-        gvals = g_fn(fb.x)  # [n_f, qf]
-        gamma = (penalty_constant / fb.h_f)[:, None]
-        gn = jnp.einsum("fqid,fqd->fqi", fb.G0, fb.n)
-        r_face = jnp.einsum("fqi,fq,fq->fi", fb.B0 * gamma[..., None] - gn, fb.w, gvals)
-        rhs = rhs + jax.ops.segment_sum(
-            r_face, jnp.asarray(fb.poly_in), num_segments=P
-        )
+    if fb.poly_in.shape[0] > 0:
+        dmask = dirichlet_face_mask(ah, dirichlet_ids)
+        sel = np.where(dmask)[0]
+        if g_fn is not None and sel.shape[0]:
+            gvals = g_fn(fb.x[sel])  # [k, qf]
+            gamma = (penalty_constant / fb.h_f[sel])[:, None]
+            gn = jnp.einsum("fqid,fqd->fqi", fb.G0[sel], fb.n[sel])
+            r_face = jnp.einsum("fqi,fq,fq->fi",
+                                fb.B0[sel] * gamma[..., None] - gn,
+                                fb.w[sel], gvals)
+            rhs = rhs + jax.ops.segment_sum(
+                r_face, jnp.asarray(fb.poly_in[sel]), num_segments=P
+            )
+        neu = np.where(~dmask)[0]
+        if neumann_fn is not None and neu.shape[0]:
+            gN = neumann_fn(fb.x[neu], fb.n[neu])  # [k, qf]
+            r_face = jnp.einsum("fqi,fq,fq->fi", fb.B0[neu], fb.w[neu], gN)
+            rhs = rhs + jax.ops.segment_sum(
+                r_face, jnp.asarray(fb.poly_in[neu]), num_segments=P
+            )
     return rhs.reshape(-1)
 
 

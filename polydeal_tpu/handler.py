@@ -63,6 +63,7 @@ class FaceTable:
     weights: np.ndarray  # [n_f, Qf] surface JxW
     normals: np.ndarray  # [n_f, Qf, dim] unit, outward from poly_in
     h_f: np.ndarray  # [n_f] penalty length scale: diameter of poly_in
+    boundary_id: np.ndarray | None = None  # [n_f] int32, -1 interior
 
     @property
     def n_faces(self) -> int:
@@ -88,6 +89,8 @@ class FaceTable:
             weights=self.weights[mask],
             normals=self.normals[mask],
             h_f=self.h_f[mask],
+            boundary_id=None if self.boundary_id is None
+            else self.boundary_id[mask],
         )
 
 
@@ -285,6 +288,8 @@ class AgglomerationHandler:
         unit_in = self.to_unit(p_in, f_pts)
         unit_out = self.to_unit(np.maximum(p_out, 0), f_pts)
 
+        bids = mesh.boundary_id_array() if hasattr(mesh, "boundary_id_array") \
+            else None
         self.faces = FaceTable(
             poly_in=p_in.astype(np.int32),
             poly_out=p_out.astype(np.int32),
@@ -294,6 +299,8 @@ class AgglomerationHandler:
             weights=f_jxw,
             normals=f_nrm,
             h_f=self.diameters[p_in],
+            boundary_id=None if bids is None
+            else bids[cell_idx, face_idx].astype(np.int32),
         )
 
     # ------------------------------------------------------------------

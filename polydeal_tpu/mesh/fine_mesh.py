@@ -94,12 +94,50 @@ def _multilinear_shapes(unit_pts: np.ndarray, dim: int):
 
 @dataclass
 class FineMesh:
-    """Fine background mesh: quads (dim=2) or hexes (dim=3)."""
+    """Fine background mesh: quads (dim=2) or hexes (dim=3).
+
+    ``face_boundary_id`` (optional) assigns an integer id to every
+    boundary (cell, face) — the analogue of deal.II boundary ids the
+    reference uses for per-id Dirichlet/Neumann conditions
+    (reference include/utils.h:1647-1659, examples/3D_piston.cc).
+    Interior faces carry -1; unset means all-0 boundary.
+    """
 
     dim: int
     vertices: np.ndarray  # [n_vertices, dim] float64
     cells: np.ndarray  # [n_cells, 2^dim] int32 vertex ids
     _neighbors: np.ndarray | None = field(default=None, repr=False)
+    face_boundary_id: np.ndarray | None = field(default=None, repr=False)
+
+    def boundary_id_array(self) -> np.ndarray:
+        """[n_cells, 2*dim] int32: boundary id per face, -1 interior."""
+        interior = self.neighbors >= 0
+        if self.face_boundary_id is not None:
+            out = np.asarray(self.face_boundary_id, dtype=np.int32).copy()
+            out[interior] = -1
+            return out
+        out = np.where(interior, -1, 0).astype(np.int32)
+        return out
+
+    def mark_boundary(self, fn) -> "FineMesh":
+        """Assign boundary ids from a predicate on face centers:
+        ``fn(centers [k, dim], normals [k, dim]) -> ids [k]``.  Returns
+        self (ids stored in place) — the colorize-style hook of deal.II
+        GridGenerator."""
+        fv = self.face_vertex_ids()  # [n_c, 2*dim, nvf]
+        centers = self.vertices[fv].mean(axis=2)  # [n_c, 2*dim, dim]
+        on_b = self.neighbors < 0
+        ids = np.full(on_b.shape, -1, dtype=np.int32)
+        if on_b.any():
+            # cheap outward normal estimate: face center minus cell center
+            cc = self.cell_centers()[:, None, :]
+            nrm = centers - cc
+            nrm = nrm / np.maximum(
+                np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-300)
+            ids[on_b] = np.asarray(
+                fn(centers[on_b], nrm[on_b]), dtype=np.int32)
+        self.face_boundary_id = ids
+        return self
 
     @property
     def n_cells(self) -> int:

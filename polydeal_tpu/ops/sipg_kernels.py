@@ -1,0 +1,239 @@
+"""Pallas TPU kernels for SIPG banded assembly.
+
+The XLA lowering of the face-block einsums ("cqip,cqjp,cqp->ijp")
+materializes [nb, nb, q, P]-sized broadcast intermediates and runs at
+~8% of HBM bandwidth (measured: 152 ms for the 1M-DoF bench assembly
+whose ideal traffic is ~2 ms).  These kernels compute the Legendre basis
+AND the SIPG blocks entirely in registers, streaming only geometry in
+and band rows out.
+
+Data model per face group (see ``assembly.sipg.build_banded_groups``):
+C = 1 fine face per (offset, polytope) slot — the structured-mesh case;
+general meshes with C > 1 accumulate over an outer C loop.  All in-kernel
+tensors are [q, T] lane slabs (q in sublanes, polytopes in lanes), so
+every VPU op runs at full width; the (i, j) block loops are static
+unrolls over the basis exponent table.
+
+Reference parity: the four jump/average blocks match
+``PolyUtils::assemble_local_jumps_and_averages`` (reference
+include/poly_utils.h:1870-1926) with penalty gamma/h_f.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+__all__ = ["face_group_blocks_pallas", "volume_blocks_pallas"]
+
+
+def _legendre_slabs(x_dims, degree, jnp):
+    """Per-dim 1D Legendre value/derivative slabs.
+
+    x_dims: list over dim of [q, T] slabs (unit coords).  Returns
+    (vals, ders): vals[d][k] is an [q, T] slab of sqrt(2k+1) P_k(2x-1).
+    """
+    scale = np.sqrt(2.0 * np.arange(degree + 1) + 1.0)
+    vals, ders = [], []
+    for x in x_dims:
+        t = 2.0 * x - 1.0
+        v = [jnp.ones_like(x)]
+        dv = [jnp.zeros_like(x)]
+        if degree >= 1:
+            v.append(t)
+            dv.append(jnp.ones_like(x))
+        for k in range(1, degree):
+            v.append(((2 * k + 1) * t * v[k] - k * v[k - 1]) / (k + 1))
+            dv.append(dv[k - 1] + (2 * k + 1) * v[k])
+        vals.append([v[k] * float(scale[k]) for k in range(degree + 1)])
+        ders.append([dv[k] * (2.0 * float(scale[k]))
+                     for k in range(degree + 1)])
+    return vals, ders
+
+
+def _basis_slabs(pts, E, degree, inv_ext, jnp):
+    """B[i] [q,T] values and G[i][d] [q,T] REAL gradients for every basis
+    function i of the exponent table E, given pts[d] [q,T] unit coords
+    and inv_ext[d] [1?, T] reciprocal bbox extents."""
+    dim = len(pts)
+    vals, ders = _legendre_slabs(pts, degree, jnp)
+    B, G = [], []
+    for i in range(E.shape[0]):
+        b = vals[0][E[i, 0]]
+        for d in range(1, dim):
+            b = b * vals[d][E[i, d]]
+        B.append(b)
+        gi = []
+        for e in range(dim):
+            g = None
+            for d in range(dim):
+                t = (ders if d == e else vals)[d][E[i, d]]
+                g = t if g is None else g * t
+            gi.append(g * inv_ext[e])
+        G.append(gi)
+    return B, G
+
+
+def _pick_tile(P, itemsize, budget=3 * 2**20):
+    t = 2048
+    while t >= 128:
+        if P % t == 0:
+            return t
+        t //= 2
+    return None
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("degree", "dim", "q", "penalty", "interpret"),
+)
+def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
+                     degree, dim, q, penalty, interpret):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from polydeal_tpu.fem.basis import _complete_exponents
+
+    E = _complete_exponents(dim, degree)
+    nb = E.shape[0]
+    P = w.shape[-1]
+    T = _pick_tile(P, 4)
+    assert T is not None
+
+    def kernel(pi_ref, po_ref, w_ref, n_ref, g_ref, ei_ref, eo_ref,
+               m11_ref, m12_ref, m21_ref, m22_ref):
+        wq = w_ref[:, :]  # [q, T]
+        gam = g_ref[:, :]  # [1, T]
+        pin = [pi_ref[d] for d in range(dim)]  # each [q, T]
+        pout = [po_ref[d] for d in range(dim)]
+        nrm = [n_ref[d] for d in range(dim)]
+        iei = [ei_ref[d:d + 1, :] for d in range(dim)]  # [1, T]
+        ieo = [eo_ref[d:d + 1, :] for d in range(dim)]
+        B0, G0 = _basis_slabs(pin, E, degree, iei, jnp)
+        B1, G1 = _basis_slabs(pout, E, degree, ieo, jnp)
+        gn0 = [sum(G0[i][d] * nrm[d] for d in range(dim)) for i in range(nb)]
+        gn1 = [sum(G1[i][d] * nrm[d] for d in range(dim)) for i in range(nb)]
+
+        def dotq(a, b, extra=None):
+            prod = a * b * wq if extra is None else a * b * (wq * extra)
+            return jnp.sum(prod, axis=0, keepdims=True)  # [1, T]
+
+        for i in range(nb):
+            for j in range(nb):
+                r = i * nb + j
+                m11_ref[r:r + 1, :] = (
+                    -0.5 * dotq(gn0[i], B0[j]) - 0.5 * dotq(B0[i], gn0[j])
+                    + dotq(B0[i], B0[j], gam))
+                m12_ref[r:r + 1, :] = (
+                    0.5 * dotq(gn0[i], B1[j]) - 0.5 * dotq(B0[i], gn1[j])
+                    - dotq(B0[i], B1[j], gam))
+                m21_ref[r:r + 1, :] = (
+                    -0.5 * dotq(gn1[i], B0[j]) + 0.5 * dotq(B1[i], gn0[j])
+                    - dotq(B1[i], B0[j], gam))
+                m22_ref[r:r + 1, :] = (
+                    0.5 * dotq(gn1[i], B1[j]) + 0.5 * dotq(B1[i], gn1[j])
+                    + dotq(B1[i], B1[j], gam))
+
+    grid = (P // T,)
+    vm = pltpu.VMEM
+    spec2 = lambda rows: pl.BlockSpec((rows, T), lambda t: (0, t),
+                                      memory_space=vm)
+    spec3 = lambda a, b: pl.BlockSpec((a, b, T), lambda t: (0, 0, t),
+                                      memory_space=vm)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nb * nb, P), jnp.float32)
+            for _ in range(4)),
+        grid=grid,
+        in_specs=[
+            spec3(dim, q), spec3(dim, q), spec2(q), spec3(dim, q),
+            spec2(1), spec2(dim), spec2(dim),
+        ],
+        out_specs=tuple(spec2(nb * nb) for _ in range(4)),
+        interpret=interpret,
+    )(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out)
+    return out
+
+
+def face_group_blocks_pallas(group, ext_t, offset, degree, dim,
+                             penalty_constant, *, interpret=False):
+    """(m11, m12, m21, m22) each [nb*nb, P] for one C=1 face group.
+
+    group: the dict from build_banded_groups (tables [C=1, q, d, P] /
+    [C=1, q, P]); ext_t [dim, P] polytope extents (poly_in-aligned);
+    the poly_out extents are ext_t rolled by -offset.
+    """
+    import jax.numpy as jnp
+
+    q = group["w"].shape[1]
+    # [C=1, q, d, P] -> [d, q, P]
+    pts_in = jnp.transpose(group["pts_in"][0], (1, 0, 2)).astype(jnp.float32)
+    pts_out = jnp.transpose(group["pts_out"][0], (1, 0, 2)).astype(jnp.float32)
+    n = jnp.transpose(group["n"][0], (1, 0, 2)).astype(jnp.float32)
+    w = group["w"][0].astype(jnp.float32)
+    gamma = (penalty_constant / group["h_f"]).astype(jnp.float32)  # [1, P]
+    inv_in = (1.0 / ext_t).astype(jnp.float32)
+    inv_out = jnp.roll(inv_in, -offset, axis=1)
+    return _face_group_impl(pts_in, pts_out, w, n, gamma, inv_in, inv_out,
+                            degree, dim, q, float(penalty_constant),
+                            interpret)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("degree", "dim", "q", "interpret"),
+)
+def _volume_impl(pts, w, inv_ext, degree, dim, q, interpret):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from polydeal_tpu.fem.basis import _complete_exponents
+
+    E = _complete_exponents(dim, degree)
+    nb = E.shape[0]
+    P = w.shape[-1]
+    T = _pick_tile(P, 4)
+
+    def kernel(p_ref, w_ref, e_ref, out_ref):
+        wq = w_ref[:, :]
+        pts_ = [p_ref[d] for d in range(dim)]
+        iex = [e_ref[d:d + 1, :] for d in range(dim)]
+        _, G = _basis_slabs(pts_, E, degree, iex, jnp)
+        for i in range(nb):
+            for j in range(nb):
+                acc = sum(G[i][d] * G[j][d] for d in range(dim)) * wq
+                out_ref[i * nb + j:i * nb + j + 1, :] = jnp.sum(
+                    acc, axis=0, keepdims=True)
+
+    vm = pltpu.VMEM
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb * nb, P), jnp.float32),
+        grid=(P // T,),
+        in_specs=[
+            pl.BlockSpec((dim, q, T), lambda t: (0, 0, t), memory_space=vm),
+            pl.BlockSpec((q, T), lambda t: (0, t), memory_space=vm),
+            pl.BlockSpec((dim, T), lambda t: (0, t), memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((nb * nb, T), lambda t: (0, t),
+                               memory_space=vm),
+        interpret=interpret,
+    )(pts, w, inv_ext)
+    return out
+
+
+def volume_blocks_pallas(vol, ext_t, degree, dim, *, interpret=False):
+    """Stiffness diagonal blocks [nb*nb, P] for the C=1 volume group."""
+    import jax.numpy as jnp
+
+    q = vol["w"].shape[1]
+    pts = jnp.transpose(vol["pts"][0], (1, 0, 2)).astype(jnp.float32)
+    w = vol["w"][0].astype(jnp.float32)
+    inv = (1.0 / ext_t).astype(jnp.float32)
+    return _volume_impl(pts, w, inv, degree, dim, q, interpret)

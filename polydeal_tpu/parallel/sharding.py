@@ -12,9 +12,12 @@ TPU-native replacement for the reference's MPI layer (SURVEY §2
                                    table is global and static; the only
                                    runtime communication is collectives
   interface value exchange (exchange_interface_values, :531-618)
-                                -> all_gather of the dof vector inside
-                                   shard_map (halo-gather optimization is
-                                   a follow-up; vectors are n_poly*n_b)
+                                -> precomputed HALO exchange: per-shard
+                                   send lists gathered at setup from the
+                                   static sparsity; at SpMV time each
+                                   shard ppermutes only its halo rows to
+                                   the shards that need them (comm volume
+                                   per SpMV ∝ halo size, not n_global)
   Trilinos SpMV + MPI reductions-> sharded block SpMV + psum
 
 Everything executes inside a single ``shard_map`` region so the whole
@@ -96,7 +99,9 @@ def shard_block_matrix(A: BlockMatrix, n_dev: int) -> ShardedMatrix:
         data[d, :k] = Ad[idx]
         lrows[d, :k] = A.rows[idx] - d * per
         cols[d, :k] = A.cols[idx]
-        # padding entries: zero data at (local row 0, col 0) — no effect
+        # padding entries: zero data at (local row 0, SHARD-LOCAL col) —
+        # local so they never induce spurious halo traffic
+        cols[d, k:] = d * per
     return ShardedMatrix(
         data=jnp.asarray(data.reshape(n_dev * nnz_per, nb, nb)),
         lrows=jnp.asarray(lrows.reshape(-1)),
@@ -123,6 +128,67 @@ class ShardedLevel:
     lo: float
     hi: float
     has_transfer: bool
+    # halo exchange structure (static): shard j sends its rows
+    # params["send{t}"] to shard (j + deltas[t]) % n_dev; the receiver's
+    # remapped cols index [local rows | halo seg 0 | halo seg 1 | ...]
+    deltas: tuple = ()
+    n_sends: tuple = ()
+    # transfers are shard-nested (parent of every local fine row lives in
+    # the local coarse chunk) -> restrict/prolong are communication-free
+    nested_transfer: bool = False
+
+
+def build_halo_exchange(cols: np.ndarray, per: int, n_dev: int):
+    """Static halo metadata from the sharded sparsity.
+
+    The TPU-native replacement for the reference's ghost machinery
+    (setup_ghost_polytopes + exchange_interface_values, reference
+    source/agglomeration_handler.cc:1026-1091,531-618): compute once, on
+    the host, exactly which rows each shard must ship to which neighbor;
+    runtime communication is one ppermute per neighbor distance carrying
+    only those rows.
+
+    cols: [n_dev, nnz_per] global block-column ids per shard.
+    Returns (remapped_cols [n_dev, nnz_per], deltas, sends) with sends a
+    list (per delta) of [n_dev, n_send] LOCAL row indices to ship.
+    """
+    cols = np.asarray(cols)
+    owner = cols // per
+    # per-shard sorted unique remote cols, grouped by cyclic distance
+    need = []
+    deltas = set()
+    for d in range(n_dev):
+        remote = np.unique(cols[d][owner[d] != d])
+        need.append(remote)
+        deltas.update(((remote // per - d) % n_dev).tolist())
+    deltas = tuple(sorted(int(x) for x in deltas))
+    sends = []
+    recv_maps = [{} for _ in range(n_dev)]  # global col -> halo slot
+    halo_off = [per] * n_dev
+    for delta in deltas:
+        lists = []
+        for j in range(n_dev):
+            dst = (j + delta) % n_dev
+            mine = need[dst][need[dst] // per == j]
+            lists.append(np.sort(mine) - j * per)
+        n_send = max((len(x) for x in lists), default=0)
+        n_send = max(n_send, 1)
+        send = np.zeros((n_dev, n_send), dtype=np.int32)
+        for j in range(n_dev):
+            send[j, : len(lists[j])] = lists[j]
+            dst = (j + delta) % n_dev
+            for pos, lr in enumerate(lists[j]):
+                recv_maps[dst][j * per + int(lr)] = halo_off[dst] + pos
+        for d in range(n_dev):
+            halo_off[d] += n_send
+        sends.append(send)
+    remap = np.empty_like(cols, dtype=np.int32)
+    for d in range(n_dev):
+        local = owner[d] == d
+        remap[d] = np.where(local, cols[d] - d * per, 0)
+        for k in np.where(~local)[0]:
+            remap[d, k] = recv_maps[d][int(cols[d, k])]
+    return remap, deltas, tuple(s.shape[1] for s in sends), sends
 
 
 class ShardedSystem:
@@ -158,6 +224,9 @@ class ShardedSystem:
             dinv[: diag.shape[0]] = 1.0 / diag
             lo, hi = ((0.0, 1.0) if mg.los[li] is None
                       else (float(mg.los[li]), float(mg.his[li])))
+            cols2d = np.asarray(SA.cols).reshape(n_dev, -1)
+            remap, deltas, n_sends, sends = build_halo_exchange(
+                cols2d, SA.rows_per_shard, n_dev)
             levels.append(
                 ShardedLevel(
                     rows_per_shard=SA.rows_per_shard,
@@ -165,14 +234,20 @@ class ShardedSystem:
                     lo=lo,
                     hi=hi,
                     has_transfer=False,
+                    deltas=deltas,
+                    n_sends=n_sends,
                 )
             )
-            params.append(
-                dict(data=SA.data, lrows=SA.lrows, cols=SA.cols,
-                     dinv=jnp.asarray(dinv))
-            )
+            pl = dict(data=SA.data, lrows=SA.lrows,
+                      cols=jnp.asarray(remap.reshape(-1)),
+                      dinv=jnp.asarray(dinv))
+            for t, send in enumerate(sends):
+                pl[f"send{t}"] = jnp.asarray(send.reshape(-1))
+            params.append(pl)
         for li, t in enumerate(mg.transfers):
             lvl = levels[li + 1]
+            per_f = lvl.rows_per_shard
+            per_c = levels[li].rows_per_shard
             nb = t.E.shape[-1]
             E = np.zeros((lvl.n_rows_pad, nb, nb), dtype=np.asarray(t.E).dtype)
             E[: t.E.shape[0]] = np.asarray(t.E)
@@ -181,7 +256,19 @@ class ShardedSystem:
             # padded fine rows carry zero E blocks -> scatter zeros: harmless
             lvl.has_transfer = True
             params[li + 1]["E"] = jnp.asarray(E)
-            params[li + 1]["parent"] = jnp.asarray(par)
+            # shard-nestedness: parent of every REAL local fine row lives
+            # in the local coarse chunk -> transfers are communication-free
+            r = np.arange(t.parent.shape[0])
+            nested = bool(
+                ((np.asarray(t.parent) // per_c) == (r // per_f)).all())
+            lvl.nested_transfer = nested
+            if nested:
+                shard = np.arange(lvl.n_rows_pad) // per_f
+                ploc = np.clip(par - shard * per_c, 0, per_c - 1)
+                params[li + 1]["parent_local"] = jnp.asarray(
+                    ploc.astype(np.int32))
+            else:
+                params[li + 1]["parent"] = jnp.asarray(par)
         cdense = np.asarray(mg.matrices[0].to_dense())
         nb0 = mg.matrices[0].data.shape[-1]
         Pc_pad = levels[0].n_rows_pad * nb0
@@ -200,10 +287,28 @@ class ShardedSystem:
         ]
 
     # ---- per-shard primitives (arrays below are LOCAL shards) ---------
-    def _matvec(self, pl, rows_per_shard: int, x_loc):
-        x_full = jax.lax.all_gather(x_loc, self.axis, tiled=True)
-        y = jnp.einsum("kij,kj->ki", pl["data"], x_full[pl["cols"]])
-        return jax.ops.segment_sum(y, pl["lrows"], num_segments=rows_per_shard)
+    @property
+    def n_dev(self) -> int:
+        return self.mesh.devices.size
+
+    def _halo_gather(self, lvl: ShardedLevel, pl, x_loc):
+        """[per + n_halo, nb] = local rows followed by halo segments —
+        one ppermute per neighbor distance, carrying only halo rows."""
+        if not lvl.deltas:
+            return x_loc
+        n = self.n_dev
+        segs = [x_loc]
+        for t, delta in enumerate(lvl.deltas):
+            buf = x_loc[pl[f"send{t}"]]
+            perm = [(j, (j + delta) % n) for j in range(n)]
+            segs.append(jax.lax.ppermute(buf, self.axis, perm))
+        return jnp.concatenate(segs, axis=0)
+
+    def _matvec(self, pl, lvl: ShardedLevel, x_loc):
+        xg = self._halo_gather(lvl, pl, x_loc)
+        y = jnp.einsum("kij,kj->ki", pl["data"], xg[pl["cols"]])
+        return jax.ops.segment_sum(y, pl["lrows"],
+                                   num_segments=lvl.rows_per_shard)
 
     def _dot(self, a, b):
         return jax.lax.psum(jnp.vdot(a, b), self.axis)
@@ -214,21 +319,27 @@ class ShardedSystem:
         sigma = theta / delta
         dinv = pl["dinv"]
         for _ in range(self.n_smooth):
-            r = b_loc - self._matvec(pl, lvl.rows_per_shard, x_loc)
+            r = b_loc - self._matvec(pl, lvl, x_loc)
             d = dinv * r / theta
             x_loc = x_loc + d
             rho_old = 1.0 / sigma
             for _ in range(self.chebyshev_degree - 1):
                 rho = 1.0 / (2.0 * sigma - rho_old)
-                r = b_loc - self._matvec(pl, lvl.rows_per_shard, x_loc)
+                r = b_loc - self._matvec(pl, lvl, x_loc)
                 z = dinv * r
                 d = (rho * rho_old) * d + (2.0 * rho / delta) * z
                 x_loc = x_loc + d
                 rho_old = rho
         return x_loc
 
-    def _restrict(self, fine_pl, coarse: ShardedLevel, r_loc):
+    def _restrict(self, fine_pl, fine: ShardedLevel, coarse: ShardedLevel,
+                  r_loc):
         contrib = jnp.einsum("pij,pi->pj", fine_pl["E"], r_loc)
+        if fine.nested_transfer:
+            # parents are shard-local: pure local scatter, zero comm
+            out = jnp.zeros((coarse.rows_per_shard, contrib.shape[-1]),
+                            dtype=contrib.dtype)
+            return out.at[fine_pl["parent_local"]].add(contrib)
         partial_sum = jnp.zeros((coarse.n_rows_pad, contrib.shape[-1]),
                                 dtype=contrib.dtype)
         partial_sum = partial_sum.at[fine_pl["parent"]].add(contrib)
@@ -238,7 +349,10 @@ class ShardedSystem:
             partial_sum, i * coarse.rows_per_shard, coarse.rows_per_shard
         )
 
-    def _prolong(self, fine_pl, xc_loc):
+    def _prolong(self, fine_pl, fine: ShardedLevel, xc_loc):
+        if fine.nested_transfer:
+            return jnp.einsum("pij,pj->pi", fine_pl["E"],
+                              xc_loc[fine_pl["parent_local"]])
         xc_full = jax.lax.all_gather(xc_loc, self.axis, tiled=True)
         return jnp.einsum("pij,pj->pi", fine_pl["E"], xc_full[fine_pl["parent"]])
 
@@ -257,10 +371,10 @@ class ShardedSystem:
         pl = lv_params[level]
         x = jnp.zeros_like(b_loc)
         x = self._smooth(lvl, pl, b_loc, x)
-        r = b_loc - self._matvec(pl, lvl.rows_per_shard, x)
-        rc = self._restrict(pl, self.levels[level - 1], r)
+        r = b_loc - self._matvec(pl, lvl, x)
+        rc = self._restrict(pl, lvl, self.levels[level - 1], r)
         xc = self._v_cycle(lv_params, level - 1, rc)
-        x = x + self._prolong(pl, xc)
+        x = x + self._prolong(pl, lvl, xc)
         x = self._smooth(lvl, pl, b_loc, x)
         return x
 
@@ -284,7 +398,7 @@ class ShardedSystem:
             fine_pl = lv[-1]
 
             def Aop(v):
-                return self._matvec(fine_pl, fine.rows_per_shard, v)
+                return self._matvec(fine_pl, fine, v)
 
             def M(r):
                 return (self._v_cycle(lv, n_levels - 1, r)

@@ -339,6 +339,70 @@ def build_structured_hierarchy(
     return handlers, parents, grid_shapes
 
 
+class _ById:
+    """Identity-keyed static wrapper (pytree aux for host-side objects)."""
+
+    __slots__ = ("obj",)
+
+    def __init__(self, obj):
+        self.obj = obj
+
+    def __hash__(self):
+        return id(self.obj)
+
+    def __eq__(self, other):
+        return isinstance(other, _ById) and other.obj is self.obj
+
+
+@jax.tree_util.register_pytree_node_class
+class MatrixFreeLevel:
+    """A matrix-free operator as an MG level (the reference's flagship
+    composition: MatrixFree finest operator over matrix-based coarse
+    levels, examples/agglo_amg.cc:1105-1110, multigrid_amg.h:309-398).
+
+    Quacks like the assembled level entries: ``matvec``, ``diagonal``,
+    ``n_basis``; no ``matvec_t``, so the V-cycle runs this level in the
+    flat layout and switches to the lane-aligned transposed layout on
+    the assembled coarse levels."""
+
+    def __init__(self, op, diag):
+        self.op = op  # e.g. MatrixFreeLaplace
+        self.diag = diag  # [n] device array (dtype defines level dtype)
+
+    @property
+    def n_basis(self):
+        return self.op.n_basis
+
+    @property
+    def data(self):  # dtype carrier only
+        return self.diag
+
+    @property
+    def shape(self):
+        n = self.op.n_poly * self.op.n_basis
+        return (n, n)
+
+    def matvec(self, x):
+        return self.op.apply(x)
+
+    def diagonal(self):
+        return self.diag
+
+    def tree_flatten(self):
+        return (self.op.geom, self.diag), (_ById(self.op),)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        import copy
+
+        op = copy.copy(aux[0].obj)
+        op.geom = children[0]
+        obj = cls.__new__(cls)
+        obj.op = op
+        obj.diag = children[1]
+        return obj
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class Multigrid:
@@ -388,7 +452,11 @@ class Multigrid:
         n_smooth: int = 5,
         smoothing_range: float = 15.0,
         precond_dtype=None,
+        fine_op=None,
     ) -> "Multigrid":
+        """``fine_op`` (a matrix-free operator with apply/diagonal, e.g.
+        MatrixFreeLaplace) replaces the finest assembled level; pass
+        ``matrices`` for the coarse levels only in that case."""
         # banded conversion on device via static gather maps (the naive
         # in-XLA scatter tile-pads a [nnz, nb, nb] intermediate 32x and
         # OOMs at scale; host conversion costs seconds at 10^6 rows);
@@ -410,6 +478,17 @@ class Multigrid:
             return e
 
         ells = [_imaj(e) for e in ells]
+        if fine_op is not None:
+            import copy
+
+            _op = copy.copy(fine_op)
+
+            def _diag(geom):
+                _op.geom = geom  # geometry as traced ARG, not constants
+                return _op.diagonal()
+
+            diag = jax.jit(_diag)(fine_op.geom)
+            ells.append(MatrixFreeLevel(fine_op, diag))
 
         @jax.jit
         def _numeric_setup(ells, A0):
@@ -436,6 +515,8 @@ class Multigrid:
         if precond_dtype is not None:
 
             def _lo(e):
+                if isinstance(e, MatrixFreeLevel):
+                    return e  # matrix-free preconditioner stays f32
                 if isinstance(e, BlockBanded):
                     lo = BlockBanded(e.data.astype(precond_dtype),
                                      e.offsets, e.n_block_cols)
@@ -461,7 +542,11 @@ class Multigrid:
 
     @property
     def n_levels(self) -> int:
-        return len(self.matrices)
+        return len(self.ells)
+
+    def _nb(self, level: int) -> int:
+        e = self.ells[level]
+        return e.n_basis if hasattr(e, "n_basis") else e.data.shape[-1]
 
     def _is_t(self, level: int) -> bool:
         t_ok = (level == 0
@@ -470,8 +555,7 @@ class Multigrid:
         return hasattr(self.ells[level], "matvec_t") and t_ok
 
     def _to_t(self, level: int, b_flat: jnp.ndarray):
-        nb = self.matrices[level].data.shape[-1]
-        return b_flat.reshape(-1, nb).T
+        return b_flat.reshape(-1, self._nb(level)).T
 
     def _cycle(self, level: int, b) -> jnp.ndarray:
         """b is [nb, P] when the level supports the transposed layout
@@ -538,7 +622,6 @@ class Multigrid:
         top = self.n_levels - 1
         A = self.ells[top]
         if self._is_t(top):
-            nb = self.matrices[top].data.shape[-1]
             bt = self._to_t(top, b)
             res = cg_solve(A.matvec_t, bt,
                            M=lambda r: self._cycle(top, r).astype(r.dtype),
@@ -559,9 +642,16 @@ def build_multigrid(
     grid_shapes: list | None = None,
     precond_dtype=None,
     dtype=jnp.float64,
+    matfree_fine: bool = False,
 ) -> Multigrid:
     """Assemble the full MG preconditioner from a handler chain and the
     finest-level matrix.
+
+    ``matfree_fine=True`` composes a MATRIX-FREE finest operator
+    (MatrixFreeLaplace, geometry-only memory) over assembled coarse
+    levels — the reference's flagship composition
+    (examples/agglo_amg.cc:1105-1110, multigrid_amg.h:309-398); A_fine
+    may then be None.  Requires mode='direct'.
 
     mode='galerkin' coarsens A_fine algebraically (A_l = Pᵀ A_{l+1} P),
     the reference's AmgProjector scheme (multigrid_amg.h:274-305) — an
@@ -581,6 +671,13 @@ def build_multigrid(
         build_face_tables,
     )
 
+    fine_op = None
+    if matfree_fine:
+        assert mode == "direct", "matfree_fine requires mode='direct'"
+        from polydeal_tpu.assembly.matfree import MatrixFreeLaplace
+
+        fine_op = MatrixFreeLaplace(handlers[-1], dtype=dtype)
+
     if mode == "direct":
         # one jitted program builds every coarse-level matrix and all
         # embeddings; per-level quadrature tables come in as arguments so
@@ -595,7 +692,7 @@ def build_multigrid(
             mats = [
                 assemble_sipg_matrix(h, dtype=dtype, vol=v, faces=fc)
                 for h, (v, fc) in zip(handlers[:-1], tabs)
-            ] + [Af]
+            ] + ([] if Af is None else [Af])
             Es = [
                 build_embedding(handlers[l], handlers[l + 1], parents[l],
                                 dtype=dtype)
@@ -603,7 +700,7 @@ def build_multigrid(
             ]
             return mats, Es
 
-        matrices, Es = _build(tables, A_fine)
+        matrices, Es = _build(tables, None if matfree_fine else A_fine)
     elif mode == "galerkin":
 
         @jax.jit
@@ -630,4 +727,4 @@ def build_multigrid(
     return Multigrid.setup(matrices, transfers,
                            chebyshev_degree=chebyshev_degree,
                            n_smooth=n_smooth, smoothing_range=smoothing_range,
-                           precond_dtype=precond_dtype)
+                           precond_dtype=precond_dtype, fine_op=fine_op)

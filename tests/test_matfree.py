@@ -56,3 +56,28 @@ def test_matfree_no_boundary_faces_subset():
     x = jnp.ones(ah.n_dofs)
     assert np.allclose(np.asarray(A.matvec(x)), np.asarray(op.apply(x)),
                        atol=1e-11)
+
+
+def test_matfree_fine_level_mg():
+    """Matrix-free finest operator composed over assembled coarse levels
+    (the reference's flagship composition, agglo_amg.cc:1105-1110):
+    must reach the same solution and comparable iterations as the fully
+    assembled MG-CG."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.assembly import assemble_sipg_matrix, assemble_rhs
+    from polydeal_tpu.solvers import build_multigrid, build_structured_hierarchy
+
+    n = 16
+    mesh = pd.hyper_cube(2, n)
+    handlers, parents, gs = build_structured_hierarchy(mesh, n, degree=2)
+    ah = handlers[-1]
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    A = assemble_sipg_matrix(ah)
+    mg_a = build_multigrid(handlers, parents, A, grid_shapes=gs)
+    mg_f = build_multigrid(handlers, parents, None, grid_shapes=gs,
+                           matfree_fine=True)
+    res_a = mg_a.solve_cg(b, rtol=1e-10)
+    res_f = mg_f.solve_cg(b, rtol=1e-10)
+    assert abs(int(res_a.iterations) - int(res_f.iterations)) <= 2
+    assert np.allclose(np.asarray(res_a.x), np.asarray(res_f.x), atol=1e-8)
