@@ -45,12 +45,23 @@ def main():
     )
     from polydeal_tpu.solvers import build_multigrid, build_structured_hierarchy
 
+    hierarchy = os.environ.get("BENCH_HIERARCHY", "structured")
     mesh = pd.hyper_cube(3, n)
-    # structured fast path: lexicographic levels -> 7 banded offsets +
-    # reshape transfers (the R-tree/SFC path has ~37 offsets = 5x SpMV
-    # bandwidth; use build_rtree_hierarchy for unstructured meshes)
-    handlers, parents, grid_shapes = build_structured_hierarchy(
-        mesh, n, degree=degree)
+    if hierarchy == "rtree":
+        # the general R3MG path: STR R-tree hierarchy over cell centers
+        # (SFC-rank ordering -> ~37 band offsets vs 7 structured)
+        from polydeal_tpu.agglomeration import RTreeAgglomerator
+        from polydeal_tpu.solvers import build_rtree_hierarchy
+
+        agg = RTreeAgglomerator.build(mesh.cell_centers())
+        handlers, parents = build_rtree_hierarchy(
+            mesh, agg, list(range(1, agg.n_levels - 1)), degree=degree)
+        grid_shapes = None
+    else:
+        # structured fast path: lexicographic levels -> 7 banded offsets
+        # + reshape transfers
+        handlers, parents, grid_shapes = build_structured_hierarchy(
+            mesh, n, degree=degree)
     ah = handlers[-1]
 
     u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
@@ -110,6 +121,8 @@ def main():
             "n_cells": mesh.n_cells,
             "n_dofs": ah.n_dofs,
             "degree": degree,
+            "hierarchy": hierarchy,
+            "band_offsets": int(band_offsets.shape[0]),
             "iterations": int(res.iterations),
             "residual": float(res.residual),
             "rtol": rtol,

@@ -144,11 +144,25 @@ def build_volume_tables(ah: AgglomerationHandler, dtype=jnp.float64,
 
 
 def build_face_tables(ah: AgglomerationHandler, dtype=jnp.float64,
-                      basis=None):
-    """Returns (interior: FaceTables, boundary: FaceTables)."""
+                      basis=None, h_scale: str = "diameter"):
+    """Returns (interior: FaceTables, boundary: FaceTables).
+
+    ``h_scale='orthogonal'`` replaces the penalty length h_f (polytope
+    bbox diameter by default) with the face-orthogonal depth
+    (reference's optional CGAL h_perp, poly_utils.h:399-513) — sharper
+    penalties on stretched/distorted agglomerates."""
     basis = basis or ah.basis
+    faces = ah.faces
+    if h_scale == "orthogonal":
+        from polydeal_tpu.metrics import face_h_orthogonal
+
+        import dataclasses
+
+        faces = dataclasses.replace(faces, h_f=face_h_orthogonal(ah))
+    elif h_scale != "diameter":
+        raise ValueError(f"unknown h_scale: {h_scale}")
     out = []
-    for part, both_sides in ((ah.faces.interior(), True), (ah.faces.boundary(), False)):
+    for part, both_sides in ((faces.interior(), True), (faces.boundary(), False)):
         p_in = part.poly_in
         pts_in = jnp.asarray(part.points_in, dtype=dtype)
         B0 = basis.eval(pts_in).astype(dtype)

@@ -108,6 +108,11 @@ class FineMesh:
     cells: np.ndarray  # [n_cells, 2^dim] int32 vertex ids
     _neighbors: np.ndarray | None = field(default=None, repr=False)
     face_boundary_id: np.ndarray | None = field(default=None, repr=False)
+    # quadrature caches keyed by n1d: every AgglomerationHandler level of
+    # a hierarchy shares the same background rules — recomputing them per
+    # level made 10^6-cell setup minutes-slow
+    _vq_cache: dict = field(default_factory=dict, repr=False, compare=False)
+    _fq_cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     def boundary_id_array(self) -> np.ndarray:
         """[n_cells, 2*dim] int32: boundary id per face, -1 interior."""
@@ -198,17 +203,25 @@ class FineMesh:
     # ---- geometry ------------------------------------------------------
 
     def cell_vertices(self) -> np.ndarray:
-        return self.vertices[self.cells]  # [n_cells, 2^dim, dim]
+        # cached: the fancy-indexed [n_cells, 2^dim, dim] copy costs ~1 s
+        # per call at 10^6 cells and is requested by every setup stage
+        cv = self._vq_cache.get("_cell_vertices")
+        if cv is None:
+            cv = self.vertices[self.cells]
+            self._vq_cache["_cell_vertices"] = cv
+        return cv
 
     def map_points(self, unit_pts: np.ndarray) -> np.ndarray:
         """Map unit points into every cell: [n_cells, q, dim]."""
         vals, _ = _multilinear_shapes(np.atleast_2d(unit_pts), self.dim)
-        return np.einsum("qv,cvd->cqd", vals, self.cell_vertices())
+        return np.einsum("qv,cvd->cqd", vals, self.cell_vertices(),
+                         optimize=True)
 
     def jacobians(self, unit_pts: np.ndarray) -> np.ndarray:
         """Jacobian dx/dx̂ at unit points: [n_cells, q, dim, dim]."""
         _, grads = _multilinear_shapes(np.atleast_2d(unit_pts), self.dim)
-        return np.einsum("qve,cvd->cqde", grads, self.cell_vertices())
+        return np.einsum("qve,cvd->cqde", grads, self.cell_vertices(),
+                         optimize=True)
 
     def volume_quadrature(self, n1d: int):
         """Composite Gauss rule per cell.
@@ -220,10 +233,13 @@ class FineMesh:
         """
         from polydeal_tpu.fem.quadrature import tensor_gauss
 
+        if n1d in self._vq_cache:
+            return self._vq_cache[n1d]
         up, uw = tensor_gauss(self.dim, n1d)
         pts = self.map_points(up)
         J = self.jacobians(up)
         jxw = np.abs(_det(J)) * uw[None, :]
+        self._vq_cache[n1d] = (pts, jxw)
         return pts, jxw
 
     def face_quadrature(self, n1d: int):
@@ -237,6 +253,8 @@ class FineMesh:
         """
         from polydeal_tpu.fem.quadrature import face_quadrature, embed_face_points
 
+        if n1d in self._fq_cache:
+            return self._fq_cache[n1d]
         fp, fw = face_quadrature(self.dim, n1d)
         qf = fp.shape[0]
         pts = np.empty((self.n_cells, 2 * self.dim, qf, self.dim))
@@ -254,6 +272,7 @@ class FineMesh:
                 mag = np.linalg.norm(nvec, axis=-1)
                 jxw[:, f] = mag * fw[None, :]
                 normals[:, f] = nvec / np.maximum(mag, 1e-300)[..., None]
+        self._fq_cache[n1d] = (pts, jxw, normals)
         return pts, jxw, normals
 
     def cell_measures(self, n1d: int = 2) -> np.ndarray:

@@ -19,7 +19,38 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["compute_quality_metrics", "compute_h_orthogonal"]
+__all__ = ["compute_quality_metrics", "compute_h_orthogonal",
+           "face_h_orthogonal"]
+
+
+def face_h_orthogonal(handler) -> np.ndarray:
+    """Per-face-ROW orthogonal length scale [n_f] for penalty scaling.
+
+    Vectorized variant of :func:`compute_h_orthogonal` at fine-face
+    granularity: for each face row, the depth of the owning polytope(s)
+    behind the face plane along the face's mean normal; interior rows
+    take the min of the two sides (the sharper penalty).  Wire into the
+    assembly via ``build_face_tables(..., h_scale='orthogonal')`` —
+    the optional penalty scaling of reference poly_utils.h:399-513.
+    """
+    ft = handler.faces
+    pts = handler.vol_points_real  # [P, Q, dim]
+    w = ft.weights  # [n_f, q]
+    nbar = (w[..., None] * ft.normals).sum(axis=1)
+    nbar /= np.maximum(np.linalg.norm(nbar, axis=-1, keepdims=True), 1e-300)
+    xbar = (w[..., None] * ft.points_real).sum(axis=1) \
+        / np.maximum(w.sum(axis=1), 1e-300)[:, None]
+    # depth of side polytope behind the plane: max_q (xbar - x_q) . nbar
+    d_in = np.einsum("fqd,fd->fq",
+                     xbar[:, None, :] - pts[ft.poly_in], nbar).max(axis=1)
+    h = d_in
+    interior = ft.poly_out >= 0
+    if interior.any():
+        p_out = np.maximum(ft.poly_out, 0)
+        d_out = np.einsum(
+            "fqd,fd->fq", pts[p_out] - xbar[:, None, :], nbar).max(axis=1)
+        h = np.where(interior, np.minimum(d_in, d_out), d_in)
+    return np.maximum(h, 1e-12)
 
 
 def compute_quality_metrics(handler) -> dict:

@@ -20,6 +20,7 @@ __all__ = [
     "evaluate_at_quadrature",
     "compute_global_error",
     "interpolate_to_fine_grid",
+    "interpolate_field_to_fine_grid",
 ]
 
 
@@ -65,29 +66,66 @@ def interpolate_to_fine_grid(
     u: jnp.ndarray,
     degree: int | None = None,
     family: str = "dgq",
+    n_components: int = 1,
 ):
-    """Interpolate a polytopal DG field onto a nodal DG space on the fine
-    background mesh (reference poly_utils.h:1145-1458).
+    """Interpolate a polytopal DG field onto a DG space on the fine
+    background mesh (reference poly_utils.h:1145-1458, incl. the system
+    and hp variants).
 
-    Returns [n_cells, n_fine_basis] nodal values of the target space —
-    enough for VTU export or further fine-grid computation.  Exact (not a
-    projection): polytopal polynomials restrict to polynomials on cells.
+    Targets: ``family='dgq'`` — nodal values at Gauss–Lobatto points
+    (interpolation); ``family='dgp'`` — modal Legendre coefficients via
+    per-cell L2 projection in unit coordinates.  Both are EXACT: a
+    polytopal polynomial restricts to a polynomial on every fine cell.
+
+    ``n_components > 1`` treats u as component-major vector dofs
+    [n_poly, n_components, n_basis] (the FESystem layout of the coupled
+    apps); output is [n_cells, n_components, n_fine_basis]
+    (squeezed for scalars).
     """
     from polydeal_tpu.fem.basis import make_basis, _gauss_lobatto_01
+    from polydeal_tpu.fem.quadrature import tensor_gauss
 
     if degree is None:
         degree = ah.degree
     fine = make_basis(family, ah.dim, degree)
-    # nodal points of the fine space on the unit cell
     if family == "dgq":
         nodes1d = _gauss_lobatto_01(degree + 1)
         E = fine.exponents
-        unit_nodes = np.stack([nodes1d[E[:, d]] for d in range(ah.dim)], axis=-1)
+        unit_pts = np.stack([nodes1d[E[:, d]] for d in range(ah.dim)],
+                            axis=-1)
+        W = None  # pure interpolation at the nodes
+    elif family == "dgp":
+        # modal target: exact L2 projection on the unit cell; with the
+        # orthonormal Legendre basis the projector is B_fine^T diag(w)
+        unit_pts, wts = tensor_gauss(ah.dim, degree + 1)
+        W = jnp.asarray(fine.eval(jnp.asarray(unit_pts))) * wts[:, None]
+        # [q, n_fine_b]: coeff_j = sum_q w_q phi_j(x_q) u(x_q)
     else:
-        raise NotImplementedError("nodal target space required")
-    # real coords of each cell's nodes, pulled back to the owning bbox
-    real = ah.mesh.map_points(unit_nodes)  # [n_c, n_nodes, dim]
+        raise NotImplementedError(f"unsupported target family {family}")
+    # real coords of each cell's sample points, pulled back to the bbox
+    real = ah.mesh.map_points(unit_pts)  # [n_c, n_pts, dim]
     unit_in_poly = ah.to_unit(ah.cell2poly, real)
-    B = ah.basis.eval(jnp.asarray(unit_in_poly))  # [n_c, n_nodes, nb]
-    ub = u.reshape(ah.n_poly, ah.n_basis)[jnp.asarray(ah.cell2poly)]
-    return jnp.einsum("cni,ci->cn", B, ub)
+    B = ah.basis.eval(jnp.asarray(unit_in_poly))  # [n_c, n_pts, nb]
+    ub = u.reshape(ah.n_poly, n_components,
+                   ah.n_basis)[jnp.asarray(ah.cell2poly)]
+    vals = jnp.einsum("cni,cdi->cdn", B, ub)  # [n_c, comp, n_pts]
+    if W is not None:
+        vals = jnp.einsum("cdq,qj->cdj", vals, W)
+    return vals[:, 0] if n_components == 1 else vals
+
+
+def interpolate_field_to_fine_grid(space, ah, x, name: str,
+                                   degree: int | None = None,
+                                   family: str = "dgq"):
+    """Interpolate one field of a multi-field SystemSpace solution to the
+    fine grid: [n_cells, n_components, n_fine_basis], zero on cells
+    outside the field's subdomain (the reference's hp interpolation,
+    poly_utils.h:1322-1458)."""
+    f = space.fields[name]
+    ub = space.unpack(x, name)  # [n_polys_f, comp, nb]
+    full = jnp.zeros((ah.n_poly,) + ub.shape[1:], dtype=ub.dtype)
+    full = full.at[jnp.asarray(f.polys)].set(ub)
+    out = interpolate_to_fine_grid(ah, full.reshape(-1), degree=degree,
+                                   family=family,
+                                   n_components=f.n_components)
+    return out if f.n_components > 1 else out[:, None, :]

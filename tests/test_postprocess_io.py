@@ -131,3 +131,80 @@ def test_banded_direct_assembly_matches_coo():
     Bs = assemble_sipg_banded(ah, offsets=sup)
     assert np.allclose(np.asarray(Bs.matvec(x)), np.asarray(A.matvec(x)),
                        atol=1e-11)
+
+
+def test_interpolate_to_fine_dgp_target():
+    """Modal (DGP) fine-grid target: exact per-cell L2 projection — a
+    polytopal linear field round-trips exactly (reference hp variant,
+    poly_utils.h:1322-1458)."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.agglomeration import agglomerate_by_partition
+    from polydeal_tpu.assembly import project
+    from polydeal_tpu.fem.basis import LegendreDGP
+    from polydeal_tpu.postprocess import interpolate_to_fine_grid
+
+    mesh = pd.hyper_cube(2, 4)
+    c2p = agglomerate_by_partition(mesh.cell_centers(), mesh.neighbors, 4)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=1)
+    u = project(ah, lambda x: 1.0 + 2 * x[..., 0] - x[..., 1])
+    coeffs = interpolate_to_fine_grid(ah, u, family="dgp")  # [n_c, nfb]
+    # evaluate the fine modal field at cell centers and compare
+    fine = LegendreDGP(2, 1)
+    Bc = np.asarray(fine.eval(jnp.full((1, 2), 0.5)))[0]  # [nfb]
+    centers = mesh.cell_centers()
+    vals = np.asarray(coeffs) @ Bc
+    exact = 1.0 + 2 * centers[:, 0] - centers[:, 1]
+    assert np.abs(vals - exact).max() < 1e-12
+
+
+def test_interpolate_field_system():
+    """Vector (system) field interpolation through a SystemSpace."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.agglomeration import agglomerate_by_partition
+    from polydeal_tpu.fem.basis import LegendreDGP
+    from polydeal_tpu.fem.system import Field, SystemSpace
+    from polydeal_tpu.postprocess import interpolate_field_to_fine_grid
+
+    mesh = pd.hyper_cube(2, 4)
+    c2p = agglomerate_by_partition(mesh.cell_centers(), mesh.neighbors, 4)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=1)
+    f = Field("u", LegendreDGP(2, 1), 2, np.arange(ah.n_poly))
+    space = SystemSpace(ah, [f])
+    # constant vector field (1, 2): coefficients = value on mode 0
+    x = np.zeros((f.n_polys, 2, 3))
+    x[:, 0, 0] = 1.0
+    x[:, 1, 0] = 2.0
+    out = interpolate_field_to_fine_grid(space, ah, jnp.asarray(x.reshape(-1)), "u")
+    assert out.shape[1] == 2
+    assert np.allclose(np.asarray(out[:, 0]), 1.0)
+    assert np.allclose(np.asarray(out[:, 1]), 2.0)
+
+
+def test_h_orthogonal_penalty_ab():
+    """A/B: diameter- vs h_perp-scaled penalty on a distorted grid —
+    both must solve the same problem to discretization accuracy
+    (the reference's optional penalty scaling, poly_utils.h:399-513)."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.agglomeration import agglomerate_by_partition
+    from polydeal_tpu.assembly import (assemble_sipg_matrix, assemble_rhs,
+                                       build_face_tables)
+    from polydeal_tpu.postprocess import compute_global_error
+    from polydeal_tpu.solvers import cg_solve, block_jacobi_preconditioner
+
+    m0 = pd.hyper_cube(2, 8)
+    mesh = pd.distort_random(m0, 0.2, seed=3)
+    c2p = agglomerate_by_partition(m0.cell_centers(), m0.neighbors, 6)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=1)
+    u_ex = lambda x: x[..., 0]
+    errs = []
+    for h_scale in ("diameter", "orthogonal"):
+        faces = build_face_tables(ah, h_scale=h_scale)
+        A = assemble_sipg_matrix(ah, faces=faces)
+        b = assemble_rhs(ah, lambda x: jnp.zeros(x.shape[:-1]), u_ex,
+                         faces=faces)
+        res = cg_solve(A.matvec, b,
+                       M=block_jacobi_preconditioner(A.diag_blocks()),
+                       rtol=1e-12, maxiter=4000)
+        l2, _ = compute_global_error(ah, res.x, u_ex)
+        errs.append(float(l2))
+    assert max(errs) < 1e-9  # linear exactness holds under both scalings
