@@ -82,6 +82,7 @@ def _banded_matvec_imajor_impl(data_i, xpad, offsets_t, nb, interpret):
     n_off = len(offsets)
     n_rows, P = data_i.shape
     R = n_off * nb
+    R_pad = n_rows // nb  # 8-aligned slab height (see with_imajor)
     T = pick_tile(P, n_rows, data_i.dtype.itemsize)
     assert T is not None
     Hp = _halo(offsets, T)
@@ -101,9 +102,12 @@ def _banded_matvec_imajor_impl(data_i, xpad, offsets_t, nb, interpret):
             return jnp.where(lane < T - r, ar, br)
 
         Xg = jnp.concatenate([window(o) for o in offsets], axis=0)  # [R, T]
+        if R_pad != R:
+            Xg = jnp.concatenate(
+                [Xg, jnp.zeros((R_pad - R, T), dtype=Xg.dtype)], axis=0)
         rows = []
         for i in range(nb):
-            Di = d_ref[i * R:(i + 1) * R, :].astype(jnp.float32)
+            Di = d_ref[i * R_pad:(i + 1) * R_pad, :].astype(jnp.float32)
             rows.append(jnp.sum(Di * Xg, axis=0, keepdims=True))
         out_ref[:, :] = jnp.concatenate(rows, axis=0)
 

@@ -318,11 +318,19 @@ class BlockBanded:
         return cls(children[0], unwrap_static(aux[0]), aux[1], children[1])
 
     def with_imajor(self) -> "BlockBanded":
-        """Attach the i-major copy used by the Pallas SpMV hot path."""
+        """Attach the i-major copy used by the Pallas SpMV hot path.
+
+        Each output row i owns a [R, P] slab (R = n_off*nb) padded to a
+        multiple of 8 sublanes — Mosaic requires sublane slices at
+        8-aligned offsets (f32)."""
         n_off, nb = self.data.shape[0], self.data.shape[1]
-        di = jnp.transpose(self.data, (1, 0, 2, 3)).reshape(
-            nb * n_off * nb, -1)
-        return BlockBanded(self.data, self.offsets, self.n_block_cols, di)
+        R = n_off * nb
+        R_pad = -(-R // 8) * 8
+        di = jnp.transpose(self.data, (1, 0, 2, 3)).reshape(nb, R, -1)
+        if R_pad != R:
+            di = jnp.pad(di, ((0, 0), (0, R_pad - R), (0, 0)))
+        return BlockBanded(self.data, self.offsets, self.n_block_cols,
+                           di.reshape(nb * R_pad, -1))
 
     def _pallas_ok(self) -> bool:
         import jax
