@@ -3,8 +3,14 @@
 The reference consumes small gmsh grids in its tests/examples
 (test/polydeal/t2.msh, t3.msh, input_grids/square.msh, the 3D piston
 mesh).  Supports the element types the framework meshes cover:
-quad(3), hexahedron(5), triangle(2), tetrahedron(4); lower-dimensional
-elements (points/lines/surfaces in 3D) are skipped.
+quad(3), hexahedron(5), triangle(2), tetrahedron(4).
+
+Boundary ids: codimension-1 elements (lines in 2D; triangles/quads in
+3D) are matched by node set against the mesh's boundary faces and their
+physical tag (v2.2 first tag; v4.1 entity physical tag from $Entities,
+falling back to the entity tag) becomes the face boundary id — the
+deal.II `GridIn` boundary-id semantics the reference relies on for
+per-id boundary conditions (examples/3D_piston.cc).
 
 Node ordering translation: gmsh quads/hexes are corner-cycled
 (0,1,2,3 counterclockwise); our FineMesh uses the bit convention
@@ -18,8 +24,8 @@ import numpy as np
 __all__ = ["read_msh"]
 
 # gmsh element type -> (n_nodes, our mesh kind)
-_QUAD, _HEX, _TRI, _TET = 3, 5, 2, 4
-_N_NODES = {_TRI: 3, _QUAD: 4, _TET: 4, _HEX: 8}
+_LINE, _TRI, _QUAD, _TET, _HEX = 1, 2, 3, 4, 5
+_N_NODES = {_LINE: 2, _TRI: 3, _QUAD: 4, _TET: 4, _HEX: 8}
 # gmsh corner cycle -> bit-convention order
 _REORDER = {
     _QUAD: [0, 1, 3, 2],
@@ -27,10 +33,12 @@ _REORDER = {
     _TRI: [0, 1, 2],
     _TET: [0, 1, 2, 3],
 }
+_DIM = {_LINE: 1, _TRI: 2, _QUAD: 2, _TET: 3, _HEX: 3}
 
 
 def read_msh(path: str):
-    """Returns a FineMesh (quads/hexes) or SimplexMesh (tris/tets)."""
+    """Returns a FineMesh (quads/hexes) or SimplexMesh (tris/tets), with
+    face boundary ids populated from codim-1 physical groups."""
     with open(path) as fh:
         lines = fh.read().split("\n")
     i = 0
@@ -51,7 +59,7 @@ def read_msh(path: str):
     # decide element family: prefer the highest-dimensional type present
     for types, simplex in (((_HEX,), False), ((_TET,), True),
                            ((_QUAD,), False), ((_TRI,), True)):
-        cells = [conn for t, conn in elements if t in types]
+        cells = [conn for t, conn, _tag in elements if t in types]
         if cells:
             etype = types[0]
             break
@@ -59,22 +67,42 @@ def read_msh(path: str):
         raise ValueError("no supported volume elements in mesh")
 
     conn = np.asarray(cells, dtype=np.int64)[:, _REORDER[etype]]
-    dim = {_TRI: 2, _QUAD: 2, _TET: 3, _HEX: 3}[etype]
+    dim = _DIM[etype]
     # gmsh node ids may be sparse: compact them
     used = np.unique(conn)
     remap = np.full(used.max() + 1, -1, dtype=np.int64)
     remap[used] = np.arange(used.shape[0])
     verts = nodes[used][:, :dim]
 
+    # codim-1 facets with tags -> boundary-id lookup by node set
+    facet_types = {2: (_LINE,), 3: (_QUAD, _TRI)}[dim]
+    facet_ids = {}
+    for t, cn, tag in elements:
+        if t in facet_types and tag is not None:
+            ids = np.asarray(cn, dtype=np.int64)
+            if (ids <= used.max()).all() and (remap[ids] >= 0).all():
+                facet_ids[tuple(sorted(remap[ids].tolist()))] = int(tag)
+
     if etype in (_TRI, _TET):
         from polydeal_tpu.mesh.simplex import SimplexMesh
 
-        return SimplexMesh(dim=dim, vertices=verts,
+        mesh = SimplexMesh(dim=dim, vertices=verts,
                            cells=remap[conn].astype(np.int32))
-    from polydeal_tpu.mesh.fine_mesh import FineMesh
+    else:
+        from polydeal_tpu.mesh.fine_mesh import FineMesh
 
-    return FineMesh(dim=dim, vertices=verts,
-                    cells=remap[conn].astype(np.int32))
+        mesh = FineMesh(dim=dim, vertices=verts,
+                        cells=remap[conn].astype(np.int32))
+    if facet_ids and hasattr(mesh, "face_vertex_ids"):
+        fv = mesh.face_vertex_ids()  # [n_c, n_faces, nvf]
+        on_b = mesh.neighbors < 0
+        out = np.full(on_b.shape, -1, dtype=np.int32)
+        bc, bf = np.where(on_b)
+        for c, f in zip(bc, bf):
+            out[c, f] = facet_ids.get(
+                tuple(sorted(fv[c, f].tolist())), 0)
+        mesh.face_boundary_id = out
+    return mesh
 
 
 def _read_v2(lines):
@@ -93,15 +121,35 @@ def _read_v2(lines):
         if etype not in _N_NODES:
             continue
         n_tags = int(parts[2])
+        tag = int(parts[3]) if n_tags >= 1 else None
         conn = [int(v) for v in parts[3 + n_tags:]]
-        elements.append((etype, conn))
+        elements.append((etype, conn, tag))
     return nodes, elements
 
 
 def _read_v4(lines):
+    # $Entities: map (dim, entityTag) -> first physical tag (if any)
+    phys = {}
+    if "$Entities" in lines:
+        j = lines.index("$Entities") + 1
+        npt, ncv, nsf, nvl = (int(x) for x in lines[j].split())
+        j += 1
+        counts = (npt, ncv, nsf, nvl)
+        for edim in range(4):
+            for _ in range(counts[edim]):
+                parts = lines[j].split()
+                j += 1
+                tag = int(parts[0])
+                # points: tag x y z numPhys ...; others: tag 6 bbox floats
+                base = 4 if edim == 0 else 7
+                if len(parts) > base:
+                    n_phys = int(parts[base])
+                    if n_phys >= 1:
+                        phys[(edim, tag)] = int(parts[base + 1])
+
     i = lines.index("$Nodes") + 1
     hdr = lines[i].split()
-    n_blocks, n_nodes = int(hdr[0]), int(hdr[1])
+    n_blocks = int(hdr[0])
     max_tag = int(hdr[3])
     nodes = np.zeros((max_tag + 1, 3))
     i += 1
@@ -121,11 +169,12 @@ def _read_v4(lines):
     elements = []
     for _ in range(n_blocks):
         bh = lines[j].split()
-        etype, count = int(bh[2]), int(bh[3])
+        edim, etag, etype, count = (int(x) for x in bh[:4])
+        tag = phys.get((edim, etag), etag)
         j += 1
         for k in range(count):
             if etype in _N_NODES:
                 parts = lines[j + k].split()
-                elements.append((etype, [int(v) for v in parts[1:]]))
+                elements.append((etype, [int(v) for v in parts[1:]], tag))
         j += count
     return nodes, elements

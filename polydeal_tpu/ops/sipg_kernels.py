@@ -75,13 +75,25 @@ def _basis_slabs(pts, E, degree, inv_ext, jnp):
     return B, G
 
 
-def _pick_tile(P, itemsize, budget=3 * 2**20):
+def _pick_tile(P, bytes_per_lane, budget=5 * 2**20):
+    """Largest power-of-two lane tile whose live slab footprint (values,
+    gradients, outputs — all [*, T] f32, double-buffered by Mosaic) fits
+    the VMEM budget."""
     t = 2048
     while t >= 128:
-        if P % t == 0:
+        if P % t == 0 and bytes_per_lane * t <= budget:
             return t
         t //= 2
     return None
+
+
+def _face_lane_cost(nb, dim, q):
+    """Per-lane f32 bytes live in the face kernel: basis values+grads on
+    both sides, normal-derivative slabs, four nb² output blocks, inputs."""
+    return 4 * (2 * nb * (1 + dim) * q  # B, G both sides
+                + 2 * nb * q            # gn0, gn1
+                + 4 * nb * nb           # four output blocks
+                + 3 * dim * q + 2 * q + 2 * dim + 1)  # inputs/weights
 
 
 @functools.partial(
@@ -100,7 +112,7 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
     E = _complete_exponents(dim, degree)
     nb = E.shape[0]
     P = w.shape[-1]
-    T = _pick_tile(P, 4)
+    T = _pick_tile(P, _face_lane_cost(nb, dim, q))
     assert T is not None
 
     def kernel(pi_ref, po_ref, w_ref, n_ref, g_ref, ei_ref, eo_ref,
@@ -198,7 +210,8 @@ def _volume_impl(pts, w, inv_ext, degree, dim, q, interpret):
     E = _complete_exponents(dim, degree)
     nb = E.shape[0]
     P = w.shape[-1]
-    T = _pick_tile(P, 4)
+    T = _pick_tile(P, 4 * (nb * (1 + dim) * q + nb * nb
+                           + dim * q + q + dim))
 
     def kernel(p_ref, w_ref, e_ref, out_ref):
         wq = w_ref[:, :]

@@ -70,3 +70,51 @@ def test_read_v41_and_solve_unstructured():
                    rtol=1e-13, maxiter=5000)
     l2, _ = compute_global_error(ah, res.x, u_ex)
     assert float(l2) < 1e-10, float(l2)
+
+
+def test_boundary_ids_from_physical_groups(tmp_path):
+    """v2.2 line elements with physical tags become face boundary ids
+    (the reference's GridIn boundary-id semantics, examples/3D_piston.cc)."""
+    # unit square, 2x2 quads; bottom edge physical 7, left edge physical 9
+    msh = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+9
+1 0 0 0
+2 0.5 0 0
+3 1 0 0
+4 0 0.5 0
+5 0.5 0.5 0
+6 1 0.5 0
+7 0 1 0
+8 0.5 1 0
+9 1 1 0
+$EndNodes
+$Elements
+8
+1 1 2 7 0 1 2
+2 1 2 7 0 2 3
+3 1 2 9 0 1 4
+4 1 2 9 0 4 7
+5 3 2 1 0 1 2 5 4
+6 3 2 1 0 2 3 6 5
+7 3 2 1 0 4 5 8 7
+8 3 2 1 0 5 6 9 8
+$EndElements
+"""
+    p = tmp_path / "square_ids.msh"
+    p.write_text(msh)
+    mesh = read_msh(str(p))
+    bids = mesh.boundary_id_array()
+    centers = mesh.vertices[mesh.face_vertex_ids()].mean(axis=2)
+    on_b = mesh.neighbors < 0
+    got = {}
+    for c, f in zip(*np.where(on_b)):
+        x, y = centers[c, f]
+        side = ("bottom" if y < 1e-9 else "top" if y > 1 - 1e-9
+                else "left" if x < 1e-9 else "right")
+        got.setdefault(side, set()).add(int(bids[c, f]))
+    assert got["bottom"] == {7}
+    assert got["left"] == {9}
+    assert got["top"] == {0} and got["right"] == {0}
