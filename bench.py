@@ -40,6 +40,7 @@ def main():
         build_face_tables,
     )
     from polydeal_tpu.assembly.sipg import (
+        assemble_rhs_direct,
         assemble_sipg_banded_direct,
         build_banded_groups,
     )
@@ -96,16 +97,16 @@ def main():
     # fused program also lets XLA choose consistent layouts across the
     # assembly/solve boundary.
     @jax.jit
-    def assemble_and_solve(tabs, v, fc, m):
+    def assemble_and_solve(tabs, m):
         A_band = assemble_sipg_banded_direct(ah, tabs, offsets=band_offsets)
-        b = assemble_rhs(ah, f, u_ex, dtype=dtype, vol=v, faces=fc)
+        b = assemble_rhs_direct(ah, tabs, f, u_ex)
         m.ells[-1] = A_band.with_imajor()  # Pallas SpMV layout
         return m.solve_cg(b, rtol=rtol, maxiter=100)
 
-    res = assemble_and_solve(groups, vol, faces, mg)
+    res = assemble_and_solve(groups, mg)
     jax.block_until_ready(res.x)
     t0 = time.perf_counter()
-    res = assemble_and_solve(groups, vol, faces, mg)
+    res = assemble_and_solve(groups, mg)
     jax.block_until_ready(res.x)
     elapsed = time.perf_counter() - t0
     t_asm = t_cvt = 0.0

@@ -486,7 +486,43 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
         w=jnp.asarray(np.transpose(wv, (1, 2, 0)), dtype=dtype),
     )
     ext_t = jnp.asarray(ah.extents.T, dtype=dtype)  # [dim, P]
-    return dict(groups=groups, bdry=bdry, vol=vol, ext_t=ext_t)
+    lo_t = jnp.asarray(ah.bbox_lo.T, dtype=dtype)  # [dim, P]
+    return dict(groups=groups, bdry=bdry, vol=vol, ext_t=ext_t, lo_t=lo_t)
+
+
+def assemble_rhs_direct(ah: AgglomerationHandler, tables: dict, f_fn,
+                        g_fn=None, penalty_constant: float | None = None,
+                        basis=None):
+    """RHS over the slot-padded tables — entity-last einsums, zero
+    scatters (the standard-layout assemble_rhs tile-pads its [c, q, nb]
+    tables and segment-sums by polytope: ~10 ms at 1M DoF vs ~1 ms
+    here).  Same mathematics: ∫ f v + Dirichlet Nitsche data terms."""
+    basis = basis or ah.basis
+    if penalty_constant is None:
+        penalty_constant = default_penalty_constant(ah.degree, ah.dim)
+    P, nb = ah.n_poly, ah.n_basis
+    ext_t, lo_t = tables["ext_t"], tables["lo_t"]
+
+    def real_pts(unit):  # [C, q, d, P] -> [C, q, P, d] real coords
+        r = lo_t[None, None] + unit * ext_t[None, None]
+        return jnp.moveaxis(r, 2, -1)
+
+    vol = tables["vol"]
+    B = basis.eval_t(vol["pts"])  # [C, q, nb, P]
+    fv = f_fn(real_pts(vol["pts"]))  # [C, q, P]
+    r = jnp.einsum("cqip,cqp,cqp->ip", B, vol["w"], fv)
+
+    g = tables["bdry"]
+    if g_fn is not None and g is not None:
+        Bb = basis.eval_t(g["pts_in"])
+        Gb = basis.grad_t(g["pts_in"]) / ext_t[None, None, None]
+        gn = jnp.einsum("cqidp,cqdp->cqip", Gb, g["n"])
+        gamma = penalty_constant / g["h_f"]  # [C, P]
+        gv = g_fn(real_pts(g["pts_in"]))  # [C, q, P]
+        r = r + jnp.einsum(
+            "cqip,cqp,cqp->ip",
+            Bb * gamma[:, None, None, :] - gn, g["w"], gv)
+    return r.T.reshape(-1)
 
 
 def assemble_sipg_banded_direct(
@@ -533,6 +569,7 @@ def assemble_sipg_banded_direct(
     )
     if pallas_ok:
         from polydeal_tpu.ops.sipg_kernels import (
+            boundary_blocks_pallas,
             face_group_blocks_pallas,
             volume_blocks_pallas,
         )
@@ -549,8 +586,13 @@ def assemble_sipg_banded_direct(
             rows[o] = m12r if rows[o] is None else rows[o] + m12r
             m21r = jnp.roll(m21.reshape(nb, nb, P), o, axis=-1)
             rows[-o] = m21r if rows[-o] is None else rows[-o] + m21r
-        diag = diag + _boundary_band_xla(ah, tables, penalty_constant,
-                                         basis, ext_t, nb, P)
+        if tables["bdry"] is not None and tables["bdry"]["w"].shape[0] <= 8:
+            diag = diag + boundary_blocks_pallas(
+                tables["bdry"], ext_t, ah.degree, ah.dim,
+                penalty_constant).reshape(nb, nb, P)
+        else:
+            diag = diag + _boundary_band_xla(ah, tables, penalty_constant,
+                                             basis, ext_t, nb, P)
         zero = jnp.zeros((nb, nb, P), dtype=diag.dtype)
         data = jnp.stack(
             [diag if o == 0 else (rows[int(o)] if rows[int(o)] is not None

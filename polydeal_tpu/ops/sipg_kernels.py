@@ -197,6 +197,85 @@ def face_group_blocks_pallas(group, ext_t, offset, degree, dim,
 
 @functools.partial(
     __import__("jax").jit,
+    static_argnames=("degree", "dim", "q", "C", "interpret"),
+)
+def _boundary_impl(pts, w, n, gamma, inv_ext, degree, dim, q, C, interpret):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from polydeal_tpu.fem.basis import _complete_exponents
+
+    E = _complete_exponents(dim, degree)
+    nb = E.shape[0]
+    P = w.shape[-1]
+    cost = 4 * (C * (nb * (1 + dim) * q + nb * q + (dim + 1) * q + 1)
+                + nb * nb + dim)
+    T = _pick_tile(P, cost)
+    assert T is not None
+
+    def kernel(p_ref, w_ref, n_ref, g_ref, e_ref, out_ref):
+        iex = [e_ref[d:d + 1, :] for d in range(dim)]
+        acc = [[None] * nb for _ in range(nb)]
+        for c in range(C):
+            pc = [p_ref[c, :, d, :] for d in range(dim)]  # [q, T]
+            nc = [n_ref[c, :, d, :] for d in range(dim)]
+            wq = w_ref[c]  # [q, T]
+            gam = g_ref[c:c + 1, :]  # [1, T]
+            B, G = _basis_slabs(pc, E, degree, iex, jnp)
+            gn = [sum(G[i][d] * nc[d] for d in range(dim))
+                  for i in range(nb)]
+            for i in range(nb):
+                for j in range(nb):
+                    term = jnp.sum(
+                        (-B[i] * gn[j] - gn[i] * B[j]
+                         + gam * B[i] * B[j]) * wq,
+                        axis=0, keepdims=True)
+                    acc[i][j] = term if acc[i][j] is None \
+                        else acc[i][j] + term
+        for i in range(nb):
+            for j in range(nb):
+                out_ref[i * nb + j:i * nb + j + 1, :] = acc[i][j]
+
+    vm = pltpu.VMEM
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nb * nb, P), jnp.float32),
+        grid=(P // T,),
+        in_specs=[
+            pl.BlockSpec((C, q, dim, T), lambda t: (0, 0, 0, t),
+                         memory_space=vm),
+            pl.BlockSpec((C, q, T), lambda t: (0, 0, t), memory_space=vm),
+            pl.BlockSpec((C, q, dim, T), lambda t: (0, 0, 0, t),
+                         memory_space=vm),
+            pl.BlockSpec((C, T), lambda t: (0, t), memory_space=vm),
+            pl.BlockSpec((dim, T), lambda t: (0, t), memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((nb * nb, T), lambda t: (0, t),
+                               memory_space=vm),
+        interpret=interpret,
+    )(pts, w, n, gamma, inv_ext)
+
+
+def boundary_blocks_pallas(group, ext_t, degree, dim, penalty_constant, *,
+                           interpret=False):
+    """Boundary Nitsche diagonal blocks [nb*nb, P] over the padded
+    boundary group ([C, q, ..., P] tables; padded rows carry zero w)."""
+    import jax.numpy as jnp
+
+    C, q = group["w"].shape[0], group["w"].shape[1]
+    pts = group["pts_in"].astype(jnp.float32)  # [C, q, d, P]
+    w = group["w"].astype(jnp.float32)
+    n = group["n"].astype(jnp.float32)
+    gamma = (penalty_constant / group["h_f"]).astype(jnp.float32)  # [C, P]
+    inv = (1.0 / ext_t).astype(jnp.float32)
+    return _boundary_impl(pts, w, n, gamma, inv, degree, dim, q, C,
+                          interpret)
+
+
+@functools.partial(
+    __import__("jax").jit,
     static_argnames=("degree", "dim", "q", "interpret"),
 )
 def _volume_impl(pts, w, inv_ext, degree, dim, q, interpret):

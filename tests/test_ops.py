@@ -108,3 +108,44 @@ def test_direct_assembly_irregular():
     err = float(jnp.abs(ref.data - B.data).max()
                 / jnp.abs(ref.data).max())
     assert err < 1e-12
+
+
+def test_rhs_direct_matches():
+    """Entity-last direct rhs equals the standard-layout assemble_rhs."""
+    from polydeal_tpu.assembly import assemble_rhs
+    from polydeal_tpu.assembly.sipg import (assemble_rhs_direct,
+                                            build_banded_groups)
+    from polydeal_tpu.agglomeration import agglomerate_by_partition
+
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    f = lambda x: 2 * jnp.pi**2 * u_ex(x)
+    mesh = pd.hyper_cube(2, 8)
+    c2p = agglomerate_by_partition(mesh.cell_centers(), mesh.neighbors, 6)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=2)
+    offsets = assemble_sipg_matrix(ah).banded_offsets()
+    tabs = build_banded_groups(ah, offsets)
+    b_ref = assemble_rhs(ah, f, u_ex)
+    b_new = assemble_rhs_direct(ah, tabs, f, u_ex)
+    assert float(jnp.abs(b_ref - b_new).max()
+                 / jnp.abs(b_ref).max()) < 1e-12
+
+
+def test_boundary_kernel_interpret():
+    """Pallas boundary Nitsche kernel equals the XLA band contribution."""
+    from polydeal_tpu.assembly.sipg import (_boundary_band_xla,
+                                            build_banded_groups,
+                                            default_penalty_constant)
+    from polydeal_tpu.ops.sipg_kernels import boundary_blocks_pallas
+
+    mesh = pd.hyper_cube(2, 16)
+    handlers, _, _ = build_structured_hierarchy(mesh, 16, degree=2)
+    ah = handlers[-1]
+    offsets = assemble_sipg_matrix(ah).banded_offsets()
+    tabs = build_banded_groups(ah, offsets)
+    pc = default_penalty_constant(ah.degree, ah.dim)
+    nb, P = ah.n_basis, ah.n_poly
+    ref = _boundary_band_xla(ah, tabs, pc, ah.basis, tabs["ext_t"], nb, P)
+    got = boundary_blocks_pallas(tabs["bdry"], tabs["ext_t"], ah.degree,
+                                 ah.dim, pc,
+                                 interpret=True).reshape(nb, nb, P)
+    assert float(jnp.abs(ref - got).max() / jnp.abs(ref).max()) < 1e-5
