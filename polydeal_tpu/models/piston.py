@@ -96,8 +96,6 @@ def solve_piston(n: int = 16, degree: int = 1, reaction: float = 1.0,
                                               degree=degree)
     ah = handlers[-1]
 
-    zc = ah.mesh.cell_centers()[:, 2]
-
     def g_dirichlet(x):
         # hot on the crown (id 1 faces have z high), cool at the bottom
         return jnp.where(x[..., 2] > 0.5, t_hot, t_cool)
