@@ -98,3 +98,24 @@ def test_simplex_rtree_agglomerated_solve():
     up = project(ah, u_ex)
     l2p, _ = compute_global_error(ah, up, u_ex)
     assert float(l2p) <= float(l2) * 1.01
+
+
+def test_simplex_agglomerated_multigrid():
+    """R3MG on a simplex (triangle) mesh: the reference's
+    simplex_agglomerated_multigrid.cc — MG-CG converges in few
+    iterations and reaches discretization accuracy."""
+    from polydeal_tpu.solvers import build_multigrid, build_rtree_hierarchy
+
+    m = triangulated_hyper_cube(2, 16)
+    agg = RTreeAgglomerator.build(m.cell_centers())
+    handlers, parents = build_rtree_hierarchy(
+        m, agg, list(range(1, agg.n_levels - 1)), degree=1)
+    ah = handlers[-1]
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    A = assemble_sipg_matrix(ah)
+    b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    mg = build_multigrid(handlers, parents, A)
+    res = mg.solve_cg(b, rtol=1e-9)
+    assert int(res.iterations) < 40
+    l2, _ = compute_global_error(ah, res.x, u_ex)
+    assert float(l2) < 0.05
