@@ -11,6 +11,9 @@ We provide two host-side partitioners:
   contiguous, deterministic; our default "METIS-like" strategy.
 * ``greedy`` — BFS region growing on the face-adjacency graph, for
   unstructured meshes where geometry is a poor proxy.
+* ``multilevel`` — the METIS algorithm family proper: heavy-edge-matching
+  coarsening, BFS initial bisection, FM boundary refinement
+  (``agglomeration/multilevel.py``).
 
 Both return a label per cell; ``agglomerate_by_partition`` additionally
 repairs disconnected parts (reference ``define_agglomerate_with_check``).
@@ -114,6 +117,10 @@ def partition_cells(
         labels = native.greedy_partition(neighbors, n_parts)
         if labels is None:
             labels = _greedy_bfs(neighbors, n_parts)
+    elif strategy == "multilevel":
+        from polydeal_tpu.agglomeration.multilevel import multilevel_partition
+
+        labels = multilevel_partition(neighbors, n_parts)
     else:
         raise ValueError(f"unknown partition strategy: {strategy}")
     return compact_labels(labels)

@@ -100,3 +100,26 @@ def test_split_disconnected_repairs():
     fixed = split_disconnected(c2p, m.neighbors)
     assert fixed[0] != fixed[15]
     assert fixed.max() + 1 == 3
+
+
+def test_multilevel_partition_quality():
+    """Multilevel (METIS-family) partitioner: balanced parts with an
+    edge cut no worse than plain BFS growth (the reference uses METIS
+    k-way for this job, poly_utils.h:553-704)."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.agglomeration.partition import partition_cells
+
+    mesh = pd.distort_random(pd.hyper_cube(2, 16), 0.2, seed=1)
+    nb = mesh.neighbors
+    n_parts = 8
+
+    def edge_cut(labels):
+        l = labels[np.maximum(nb, 0)]
+        return int(((nb >= 0) & (l != labels[:, None])).sum()) // 2
+
+    ml = partition_cells(mesh.cell_centers(), nb, n_parts, "multilevel")
+    gr = partition_cells(mesh.cell_centers(), nb, n_parts, "greedy")
+    assert ml.max() + 1 == n_parts
+    counts = np.bincount(ml)
+    assert counts.min() >= 0.5 * counts.max()  # balanced
+    assert edge_cut(ml) <= edge_cut(gr) * 1.1  # competitive cut
