@@ -151,6 +151,36 @@ class MixedOperator:
             parts[name] = v
         return sp.pack(parts)
 
+    def block_jacobi(self):
+        """Field-wise block-Jacobi preconditioner: invert each field's
+        per-polytope diagonal block (the natural saddle-point
+        preconditioner for GMRES on the coupled systems)."""
+        import jax.numpy as jnp
+
+        sp = self.space
+        invs = {}
+        for name, f in sp.fields.items():
+            key = (name, name)
+            D = jnp.zeros((f.n_polys, f.block, f.block))
+            if key in self.finalize():
+                rows, cols, data = self.finalize()[key]
+                d = rows == cols
+                D = D.at[rows[d]].add(data[d])
+            # guard empty/zero diagonals
+            eye = jnp.eye(f.block)
+            D = jnp.where(jnp.abs(D).sum((1, 2), keepdims=True) > 0, D,
+                          eye[None])
+            invs[name] = jnp.linalg.inv(D)
+
+        def apply(r):
+            parts = {}
+            for name, f in sp.fields.items():
+                rb = r[sp.dof_slice(name)].reshape(f.n_polys, f.block)
+                parts[name] = jnp.einsum("pij,pj->pi", invs[name], rb)
+            return sp.pack(parts)
+
+        return apply
+
     def to_dense(self):
         import jax.numpy as jnp
 

@@ -348,6 +348,26 @@ def solve_darcy_stokes_dense(sys: StokesDarcySystem):
     return jnp.linalg.solve(K, sys.rhs)
 
 
+def solve_darcy_stokes_iterative(sys: StokesDarcySystem, rtol: float = 1e-10,
+                                 restart: int = 60, max_restarts: int = 200):
+    """Matrix-free iterative solve: GMRES(restart) on the coupled block
+    operator (+ rank-1 zero-mean regularization) with a field-wise
+    block-Jacobi preconditioner — the TPU-scale replacement for the
+    reference's UMFPACK factorization (darcy_stokes.cc:1688-1696)."""
+    import jax.numpy as jnp
+
+    from polydeal_tpu.solvers.gmres import gmres_solve
+
+    m = pressure_mean_vector(sys)
+    M = sys.op.block_jacobi()
+
+    def A(v):
+        return sys.op.matvec(v) + m * jnp.vdot(m, v)
+
+    return gmres_solve(A, sys.rhs, M=M, restart=restart, rtol=rtol,
+                       max_restarts=max_restarts)
+
+
 def errors(sys: StokesDarcySystem, x):
     """(u_L2, u_H1semi, pS_L2, pD_L2) vs the manufactured solution,
     with the combined pressure mean removed from the exact fields (the

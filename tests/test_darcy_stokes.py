@@ -129,3 +129,14 @@ def test_manufactured_convergence():
     assert rates[1] > 2.3
     assert rates[2] > 2.3
     assert rates[3] > 2.2
+
+
+def test_iterative_solve_matches_dense():
+    """GMRES + field-wise block-Jacobi reproduces the direct solution
+    (the iterative replacement for the reference's UMFPACK path)."""
+    from polydeal_tpu.models.darcy_stokes import solve_darcy_stokes_iterative
+
+    sys_, x_dense = run(8, 2)
+    res = solve_darcy_stokes_iterative(sys_, rtol=1e-11)
+    err = float(jnp.abs(res.x - x_dense).max() / jnp.abs(x_dense).max())
+    assert err < 1e-6
