@@ -251,6 +251,25 @@ def solve_oseen_dense(space, op, rhs, meta):
     return jnp.linalg.solve(K, rhs)
 
 
+def solve_oseen_iterative(space, op, rhs, meta, rtol: float = 1e-10,
+                          restart: int = 60, max_restarts: int = 200):
+    """GMRES(restart) + field-wise block-Jacobi on the coupled Oseen
+    operator (+ rank-1 zero-mean regularization) — iterative counterpart
+    of the dense solve (the reference uses a sparse direct solver)."""
+    import jax.numpy as jnp
+
+    from polydeal_tpu.solvers.gmres import gmres_solve
+
+    m = pressure_mean_vector(space, meta)
+    M = op.block_jacobi()
+
+    def A(v):
+        return op.matvec(v) + m * jnp.vdot(m, v)
+
+    return gmres_solve(A, rhs, M=M, restart=restart, rtol=rtol,
+                       max_restarts=max_restarts)
+
+
 def oseen_errors(space, x, meta):
     """(u_L2, u_H1semi, p_L2) over the whole domain vs Kovasznay."""
     import jax

@@ -74,3 +74,28 @@ def test_mixed_degree_spaces():
     space, x, meta = run(16, 2, degrees=((2, 1), (3, 2)))
     e = oseen_errors(space, x, meta)
     assert e[0] < 0.4 and np.isfinite(e).all()
+
+
+def test_oseen_iterative_matches_dense():
+    from polydeal_tpu.models.oseen import (build_oseen, solve_oseen_dense,
+                                           solve_oseen_iterative)
+    import polydeal_tpu as pd
+    from polydeal_tpu.mesh.fine_mesh import hyper_rectangle
+
+    n = 8
+    mesh = hyper_rectangle(2, [n, n], lo=[-0.5, 0.0], hi=[1.5, 2.0])
+    centers = mesh.cell_centers()
+    m = n // 2
+    bx = np.minimum(((centers[:, 0] + 0.5) / 2.0 * m).astype(int), m - 1)
+    by = np.minimum((centers[:, 1] / 2.0 * m).astype(int), m - 1)
+    c2p = bx * m + by
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=2)
+    pcx = np.zeros(ah.n_poly)
+    np.add.at(pcx, c2p, centers[:, 0])
+    pcx /= np.bincount(c2p)
+    domain_id = (pcx > 0.5).astype(int)
+    space, op, rhs, meta = build_oseen(ah, domain_id)
+    xd = solve_oseen_dense(space, op, rhs, meta)
+    res = solve_oseen_iterative(space, op, rhs, meta, rtol=1e-11)
+    err = float(jnp.abs(res.x - xd).max() / jnp.abs(xd).max())
+    assert err < 1e-6
