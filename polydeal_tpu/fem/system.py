@@ -20,7 +20,7 @@ selection at setup; runtime kernels never see masks.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -79,7 +79,6 @@ def solve_piston(n: int = 16, degree: int = 1, reaction: float = 1.0,
     import jax
     import jax.numpy as jnp
 
-    import polydeal_tpu as pd
     from polydeal_tpu.agglomeration import RTreeAgglomerator
     from polydeal_tpu.assembly import (
         assemble_sipg_matrix,

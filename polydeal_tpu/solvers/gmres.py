@@ -12,7 +12,6 @@ host round trips occur inside a cycle.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -149,3 +149,33 @@ def test_boundary_kernel_interpret():
                                  ah.dim, pc,
                                  interpret=True).reshape(nb, nb, P)
     assert float(jnp.abs(ref - got).max() / jnp.abs(ref).max()) < 1e-5
+
+
+def test_gmres_full_restart_exact():
+    """Unrestarted GMRES solves an n x n nonsymmetric system exactly."""
+    from polydeal_tpu.solvers.gmres import gmres_solve
+
+    rng = np.random.default_rng(0)
+    n = 24
+    A = np.eye(n) * 4 + rng.standard_normal((n, n)) * 0.2
+    b = rng.standard_normal(n)
+    res = gmres_solve(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                      restart=n, rtol=1e-12, max_restarts=1)
+    x_ref = np.linalg.solve(A, b)
+    assert np.abs(np.asarray(res.x) - x_ref).max() < 1e-9
+
+
+def test_gmres_preconditioned_restarted():
+    """Restarted GMRES with a Jacobi right preconditioner converges on a
+    diagonally dominant system."""
+    from polydeal_tpu.solvers.gmres import gmres_solve
+
+    rng = np.random.default_rng(1)
+    n = 120
+    A = np.diag(2.0 + rng.random(n)) + rng.standard_normal((n, n)) * 0.05
+    b = rng.standard_normal(n)
+    dinv = jnp.asarray(1.0 / np.diag(A))
+    res = gmres_solve(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                      M=lambda v: dinv * v, restart=30, rtol=1e-10)
+    x_ref = np.linalg.solve(A, b)
+    assert np.abs(np.asarray(res.x) - x_ref).max() < 1e-7
