@@ -52,27 +52,31 @@ def _halo(offsets, T: int) -> int:
 
 def pallas_supported(P: int, n_off: int, nb: int, max_off: int,
                      itemsize: int) -> bool:
-    """x (+halo) must fit in VMEM alongside the streamed data block."""
-    T = pick_tile(P, n_off * nb * nb, itemsize)
-    if T is None:
-        return False
-    Hp = -(-max(max_off, 1) // T) * T
-    sublanes = -(-nb // 8) * 8
-    x_bytes = sublanes * (P + 2 * Hp) * 4  # x kept in f32
-    return x_bytes <= 9 * 2**20
+    """The i-major kernel streams x tile-by-tile (far offsets as
+    pre-rolled copies), so the only requirement is a valid lane tile."""
+    return pick_tile(P, n_off * nb * nb, itemsize) is not None
 
 
 @functools.partial(
     __import__("jax").jit,
     static_argnames=("offsets_t", "nb", "interpret"),
 )
-def _banded_matvec_imajor_impl(data_i, xpad, offsets_t, nb, interpret):
+def _banded_matvec_imajor_impl(data_i, xpad, xfar, offsets_t, nb,
+                               interpret):
     """i-major kernel: data_i [nb * n_off * nb, P], rows ordered
-    (i, k, j).  Per tile the 7 shifted x windows are built ONCE and
-    stacked into Xg [n_off*nb, T]; each output row i is then a single
+    (i, k, j).  Per tile the shifted x windows are built ONCE and stacked
+    into Xg [n_off*nb, T]; each output row i is then a single
     full-sublane elementwise multiply + sublane reduction against the
-    contiguous [n_off*nb, T] slab of data — ~3.5x fewer VPU ops than the
-    per-(k,i) formulation, which was compute-bound."""
+    contiguous slab of data — ~3.5x fewer VPU ops than the per-(k,i)
+    formulation, which was compute-bound.
+
+    Scalability: x is NOT kept resident in VMEM.  ``xpad`` (x padded by
+    one tile on each side) streams as three aligned tile blocks
+    (prev/cur/next) from which NEAR windows (|off| <= T) are funnel-
+    shifted; offsets reaching further arrive as pre-rolled copies in
+    ``xfar`` [n_far, nb, P] (cheap XLA rolls of the small x vector),
+    streamed one tile at a time.  VMEM per tile is O(T) regardless of P.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -85,17 +89,21 @@ def _banded_matvec_imajor_impl(data_i, xpad, offsets_t, nb, interpret):
     R_pad = n_rows // nb  # 8-aligned slab height (see with_imajor)
     T = pick_tile(P, n_rows, data_i.dtype.itemsize)
     assert T is not None
-    Hp = _halo(offsets, T)
+    far = [o for o in offsets if abs(o) > T]
+    far_idx = {o: k for k, o in enumerate(far)}
 
-    def kernel(x_ref, d_ref, out_ref):
-        t = pl.program_id(0)
+    def kernel(prev_ref, cur_ref, next_ref, far_ref, d_ref, out_ref):
+        tiles = [prev_ref, cur_ref, next_ref]
 
         def window(off):
-            q, r = divmod(off, T)
-            a = x_ref[:, pl.ds((t + q) * T + Hp, T)]
+            if off in far_idx:
+                return far_ref[far_idx[off]]
+            q, r = divmod(off, T)  # q in {-1, 0} (or 0 with r=0)
+            a = tiles[q + 1][:, :]
             if r == 0:
                 return a
-            b = x_ref[:, pl.ds((t + q + 1) * T + Hp, T)]
+            b = tiles[q + 2][:, :]
+            # lane rotate by -r  ==  +(T - r) (pltpu.roll wants shift >= 0)
             ar = pltpu.roll(a, T - r, axis=1)
             br = pltpu.roll(b, T - r, axis=1)
             lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
@@ -112,19 +120,26 @@ def _banded_matvec_imajor_impl(data_i, xpad, offsets_t, nb, interpret):
         out_ref[:, :] = jnp.concatenate(rows, axis=0)
 
     grid = (P // T,)
+    vm = pltpu.VMEM
+
+    def xspec(shift):
+        return pl.BlockSpec((nb, T), lambda t, s=shift: (0, t + s),
+                            memory_space=vm)
+
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb, P), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_rows, T), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),
+            xspec(0), xspec(1), xspec(2),  # prev/cur/next tiles of xpad
+            pl.BlockSpec((max(len(far), 1), nb, T),
+                         lambda t: (0, 0, t), memory_space=vm),
+            pl.BlockSpec((n_rows, T), lambda t: (0, t), memory_space=vm),
         ],
         out_specs=pl.BlockSpec((nb, T), lambda t: (0, t),
-                               memory_space=pltpu.VMEM),
+                               memory_space=vm),
         interpret=interpret,
-    )(xpad, data_i)
+    )(xpad, xpad, xpad, xfar, data_i)
 
 
 def banded_matvec_t_imajor(data_i, offsets, nb: int, xt, *,
@@ -134,11 +149,18 @@ def banded_matvec_t_imajor(data_i, offsets, nb: int, xt, *,
     import jax.numpy as jnp
 
     offsets = tuple(int(o) for o in np.asarray(offsets))
-    T = pick_tile(data_i.shape[1], data_i.shape[0], data_i.dtype.itemsize)
+    P = data_i.shape[1]
+    T = pick_tile(P, data_i.shape[0], data_i.dtype.itemsize)
     assert T is not None, "no valid lane tile for this P"
-    Hp = _halo(offsets, T)
-    xpad = jnp.pad(xt.astype(jnp.float32), ((0, 0), (Hp, Hp)))
-    y = _banded_matvec_imajor_impl(data_i, xpad, offsets, nb, interpret)
+    x32 = xt.astype(jnp.float32)
+    xpad = jnp.pad(x32, ((0, 0), (T, T)))
+    far = [o for o in offsets if abs(o) > T]
+    if far:
+        xfar = jnp.stack([jnp.roll(x32, -o, axis=1) for o in far], axis=0)
+    else:
+        xfar = jnp.zeros((1,) + x32.shape, dtype=jnp.float32)
+    y = _banded_matvec_imajor_impl(data_i, xpad, xfar, offsets, nb,
+                                   interpret)
     return y.astype(xt.dtype)
 
 
