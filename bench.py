@@ -100,7 +100,9 @@ def main():
     def assemble_and_solve(tabs, m):
         A_band = assemble_sipg_banded_direct(ah, tabs, offsets=band_offsets)
         b = assemble_rhs_direct(ah, tabs, f, u_ex)
-        m.ells[-1] = A_band.with_imajor()  # Pallas SpMV layout
+        # Pallas SpMV layout; drop the o-major copy (saves ~1 GB
+        # of HBM at 10^7 DoF — only the kernel path runs on this matrix)
+        m.ells[-1] = A_band.with_imajor(drop_omajor=True)
         return m.solve_cg(b, rtol=rtol, maxiter=100)
 
     res = assemble_and_solve(groups, mg)

@@ -317,19 +317,25 @@ class BlockBanded:
 
         return cls(children[0], unwrap_static(aux[0]), aux[1], children[1])
 
-    def with_imajor(self) -> "BlockBanded":
+    def with_imajor(self, drop_omajor: bool = False) -> "BlockBanded":
         """Attach the i-major copy used by the Pallas SpMV hot path.
 
         Each output row i owns a [R, P] slab (R = n_off*nb) padded to a
         multiple of 8 sublanes — Mosaic requires sublane slices at
-        8-aligned offsets (f32)."""
+        8-aligned offsets (f32).
+
+        ``drop_omajor=True`` replaces ``data`` with a zero-length view
+        (shape metadata kept, bytes freed) — use when only the Pallas
+        matvec will run on this instance: at 10^7 DoF the duplicated
+        band is ~1 GB of HBM."""
         n_off, nb = self.data.shape[0], self.data.shape[1]
         R = n_off * nb
         R_pad = -(-R // 8) * 8
         di = jnp.transpose(self.data, (1, 0, 2, 3)).reshape(nb, R, -1)
         if R_pad != R:
             di = jnp.pad(di, ((0, 0), (0, R_pad - R), (0, 0)))
-        return BlockBanded(self.data, self.offsets, self.n_block_cols,
+        keep = self.data[:, :, :, :0] if drop_omajor else self.data
+        return BlockBanded(keep, self.offsets, self.n_block_cols,
                            di.reshape(nb * R_pad, -1))
 
     def _pallas_ok(self) -> bool:
@@ -341,12 +347,15 @@ class BlockBanded:
             return False
         n_off, nb = self.data.shape[0], self.data.shape[1]
         return pallas_supported(
-            self.data.shape[-1], n_off, nb,
+            self.n_block_rows, n_off, nb,
             int(np.abs(self.offsets).max()) if self.offsets.size else 1,
             self.data.dtype.itemsize)
 
     @property
     def n_block_rows(self) -> int:
+        # the o-major copy may be a zero-length view (drop_omajor)
+        if self.data.shape[-1] == 0 and self.data_i is not None:
+            return self.data_i.shape[-1]
         return self.data.shape[-1]
 
     @property
@@ -356,7 +365,7 @@ class BlockBanded:
     @property
     def shape(self):
         nb = self.data.shape[1]
-        return (self.data.shape[-1] * nb, self.n_block_cols * nb)
+        return (self.n_block_rows * nb, self.n_block_cols * nb)
 
     def matvec_t(self, xt: jnp.ndarray) -> jnp.ndarray:
         """Transposed-layout SpMV: xt [nb, P] -> [nb, P].
