@@ -188,22 +188,45 @@ def solve_stokes_dense(ah, f_fn, g_fn, degree_u=None, delta=0.1, dtype=None):
 
     F, G = stokes_rhs(ah, meta, f_fn, g_fn, dtype)
     rhs = np.concatenate([np.asarray(F), np.asarray(G)])
-    # pin mean pressure: replace the last row with the pressure-mean
-    # constraint (constant mode of the orthonormal basis = dof 0 per poly,
-    # weighted by polytope measure)
-    meas = np.asarray(ah.vol_weights.sum(axis=1))
-    mean_row = np.zeros(nU + nP)
-    for p_i in range(P):
-        mean_row[nU + p_i * nbp] = meas[p_i]
-    # replace the equation of a CONSTANT pressure mode (the nullspace
-    # direction) — replacing a higher mode leaves K singular
-    pin = nU + (P - 1) * nbp
-    K[pin, :] = mean_row
-    rhs[pin] = 0.0
+    # zero-mean pressure via symmetric rank-1 regularization K + m mᵀ
+    # (m = pressure-mean functional): keeps the system structure intact
+    # (row replacement destroys symmetry) and the solution automatically
+    # satisfies mᵀx = 0
+    m = pressure_mean_vector(ah, meta)
+    K = K + np.outer(m, m)
     sol = np.linalg.solve(K, rhs)
     U = jnp.asarray(sol[:nU])
     Pr = jnp.asarray(sol[nU:])
     return U, Pr, meta
+
+
+def pressure_mean_vector(ah, meta):
+    """m with mᵀx = ∫_Ω p for the (u, p) layout: per-polytope integrals
+    of the pressure basis over the composite quadrature."""
+    import jax
+    import jax.numpy as jnp
+
+    vol_p = meta["vol_p"]
+    dim, nbv, nbp, P = meta["dim"], meta["nbv"], meta["nbp"], meta["P"]
+    ints = jnp.einsum("cqi,cq->ci", vol_p.B, vol_p.w)
+    mp = jax.ops.segment_sum(ints, jnp.asarray(vol_p.cell2poly),
+                             num_segments=P)
+    return np.concatenate([np.zeros(P * dim * nbv),
+                           np.asarray(mp).reshape(-1)])
+
+
+def pressure_errors(ah, meta, Pr, exact_p):
+    """L2 error of the pressure field vs a zero-mean exact pressure."""
+    import jax.numpy as jnp
+
+    vol_p = meta["vol_p"]
+    nbp, P = meta["nbp"], meta["P"]
+    Pb = Pr.reshape(P, nbp)[jnp.asarray(vol_p.cell2poly)]
+    vals = jnp.einsum("cqi,ci->cq", vol_p.B, Pb)
+    pex = exact_p(vol_p.x)
+    mean = jnp.sum(vol_p.w * pex) / vol_p.w.sum()
+    diff = vals - (pex - mean)
+    return float(jnp.sqrt(jnp.sum(vol_p.w * diff**2)))
 
 
 def velocity_errors(ah, meta, U, exact_u):

@@ -72,3 +72,25 @@ def test_stokes_manufactured_convergence():
     # measured: 0.31 -> 0.034 (rate ~3.2, optimal for p=2)
     assert errs[1] < 0.2 * errs[0], errs
     assert divergence_norm(ah, meta, U) < 0.6  # weakly controlled
+
+
+def test_stokes_pressure_error_checked():
+    """Linear exact pressure recovered (zero-mean) — the symmetric
+    rank-1 mean regularization replaces the round-1 row pinning."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.agglomeration import agglomerate_by_partition
+    from polydeal_tpu.models.stokes import (pressure_errors,
+                                            solve_stokes_dense,
+                                            velocity_errors)
+
+    m = pd.hyper_cube(2, 8)
+    c2p = agglomerate_by_partition(m.cell_centers(), m.neighbors, 8)
+    ah = pd.AgglomerationHandler(m, c2p, degree=2)
+    # u = (y, x) divergence-free harmonic; p = x (f = grad p)
+    u_ex = lambda x: jnp.stack([x[..., 1], x[..., 0]], axis=-1)
+    p_ex = lambda x: x[..., 0]
+    f = lambda x: jnp.stack([jnp.ones(x.shape[:-1]),
+                             jnp.zeros(x.shape[:-1])], axis=-1)
+    U, Pr, meta = solve_stokes_dense(ah, f, u_ex, degree_u=2)
+    assert velocity_errors(ah, meta, U, u_ex) < 1e-9
+    assert pressure_errors(ah, meta, Pr, p_ex) < 1e-8
