@@ -96,12 +96,21 @@ def main():
     # would inline them as constants and overflow the remote compiler); a
     # fused program also lets XLA choose consistent layouts across the
     # assembly/solve boundary.
+    # the setup-time fine-level f32 band (and its i-major copy) is dead
+    # in the fused program — it is replaced by the fresh assembly — but
+    # would still occupy HBM as an input; strip it to a zero-length view
+    from polydeal_tpu.sparse import BlockBanded as _BB
+
+    _e = mg.ells[-1]
+    mg.ells[-1] = _BB(_e.data[:, :, :, :0], _e.offsets, _e.n_block_cols)
+
     @jax.jit
     def assemble_and_solve(tabs, m):
         A_band = assemble_sipg_banded_direct(ah, tabs, offsets=band_offsets)
         b = assemble_rhs_direct(ah, tabs, f, u_ex)
-        # Pallas SpMV layout; drop the o-major copy (saves ~1 GB
-        # of HBM at 10^7 DoF — only the kernel path runs on this matrix)
+        # Pallas layout; the o-major copy is dropped after the transpose
+        # (the direct-imajor emission exists but its concat layout halves
+        # the SpMV rate — the transient o-major here is the fast path)
         m.ells[-1] = A_band.with_imajor(drop_omajor=True)
         return m.solve_cg(b, rtol=rtol, maxiter=100)
 

@@ -525,6 +525,36 @@ def assemble_rhs_direct(ah: AgglomerationHandler, tables: dict, f_fn,
     return r.T.reshape(-1)
 
 
+
+def _emit_banded(pieces, offsets, nb, P, layout):
+    """Final banded container from per-offset [nb, nb, P] pieces.
+
+    layout='imajor' emits the Pallas SpMV layout directly (rows
+    (i, k, j), 8-aligned i-slabs) without ever materializing the o-major
+    band — at 10^7 DoF the duplicate copy is ~1 GB and was the HBM
+    high-water mark."""
+    from polydeal_tpu.sparse import BlockBanded
+
+    if layout == "imajor":
+        n_off = offsets.shape[0]
+        R = n_off * nb
+        R_pad = -(-R // 8) * 8
+        slabs = []
+        for i in range(nb):
+            slab = jnp.concatenate([pc[i] for pc in pieces], axis=0)
+            if R_pad != R:
+                slab = jnp.concatenate(
+                    [slab, jnp.zeros((R_pad - R, P), dtype=slab.dtype)],
+                    axis=0)
+            slabs.append(slab)
+        data_i = jnp.concatenate(slabs, axis=0)
+        empty = jnp.zeros((n_off, nb, nb, 0), dtype=data_i.dtype)
+        return BlockBanded(data=empty, offsets=offsets, n_block_cols=P,
+                           data_i=data_i)
+    data = jnp.stack(pieces, axis=0)
+    return BlockBanded(data=data, offsets=offsets, n_block_cols=P)
+
+
 def assemble_sipg_banded_direct(
     ah: AgglomerationHandler,
     tables: dict,
@@ -532,6 +562,7 @@ def assemble_sipg_banded_direct(
     penalty_constant: float | None = None,
     basis=None,
     use_pallas: bool | None = None,
+    layout: str = "omajor",
 ):
     """Banded SIPG assembly over slot-padded tables (see
     :func:`build_banded_groups`) — pure einsum/sum/roll, no scatters or
@@ -594,11 +625,10 @@ def assemble_sipg_banded_direct(
             diag = diag + _boundary_band_xla(ah, tables, penalty_constant,
                                              basis, ext_t, nb, P)
         zero = jnp.zeros((nb, nb, P), dtype=diag.dtype)
-        data = jnp.stack(
-            [diag if o == 0 else (rows[int(o)] if rows[int(o)] is not None
-                                  else zero)
-             for o in offsets], axis=0)
-        return BlockBanded(data=data, offsets=offsets, n_block_cols=P)
+        pieces = [diag if o == 0 else (rows[int(o)] if rows[int(o)]
+                                       is not None else zero)
+                  for o in offsets]
+        return _emit_banded(pieces, offsets, nb, P, layout)
 
     def eval_tables(pts):
         """pts [C, q, d, P] -> B [C, q, nb, P], G [C, q, nb, d, P] via
@@ -645,11 +675,10 @@ def assemble_sipg_banded_direct(
                                      ext_t, nb, P)
 
     zero = jnp.zeros((nb, nb, P), dtype=diag.dtype)
-    data = jnp.stack(
-        [diag if o == 0 else (rows[int(o)] if rows[int(o)] is not None
-                              else zero)
-         for o in offsets], axis=0)
-    return BlockBanded(data=data, offsets=offsets, n_block_cols=P)
+    pieces = [diag if o == 0 else (rows[int(o)] if rows[int(o)] is not None
+                                   else zero)
+              for o in offsets]
+    return _emit_banded(pieces, offsets, nb, P, layout)
 
 
 def _boundary_band_xla(ah, tables, penalty_constant, basis, ext_t, nb, P):
