@@ -33,12 +33,6 @@ def main():
     dtype = jnp.float32
 
     import polydeal_tpu as pd
-    from polydeal_tpu.assembly import (
-        assemble_sipg_matrix,
-        assemble_rhs,
-        build_volume_tables,
-        build_face_tables,
-    )
     from polydeal_tpu.assembly.sipg import (
         assemble_rhs_direct,
         assemble_sipg_banded_direct,
@@ -68,11 +62,21 @@ def main():
     u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
     f = lambda x: 3 * jnp.pi**2 * u_ex(x)
 
-    # setup: shape tables + MG preconditioner (reusable across rhs/steps,
-    # like the reference's setup_multigrid)
-    vol = build_volume_tables(ah, dtype)
-    faces = build_face_tables(ah, dtype)
-    A0 = assemble_sipg_matrix(ah, dtype=dtype, vol=vol, faces=faces)
+    # setup: fine matrix assembled DIRECTLY in banded layout (the COO
+    # path's [f, nb, nb] intermediates tile-pad 32x and OOM at 10^7 DoF)
+    import numpy as np
+
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
+    band_offsets = np.unique(np.concatenate(
+        [diffs, -diffs, np.zeros(1, dtype=np.int64)]))
+    # slot-padded assembly tables: faces grouped by (offset, poly) so the
+    # band reduction is pure einsum/sum/roll — TPU has no fast scatter OR
+    # gather (both measured at <1% of HBM bandwidth at this size)
+    groups = build_banded_groups(ah, band_offsets, dtype)
+    A0 = jax.jit(lambda t: assemble_sipg_banded_direct(
+        ah, t, offsets=band_offsets))(groups)
     import jax.numpy as _jnp
 
     pdt = None if precond in ("", "none") else getattr(_jnp, precond)
@@ -80,16 +84,6 @@ def main():
                          grid_shapes=grid_shapes,
                          chebyshev_degree=cheb_deg, n_smooth=n_smooth,
                          precond_dtype=pdt)
-
-    # hot path: (1) assembly, (2) fine-operator relayout, (3) MG-CG solve.
-    # mg is a pytree ARGUMENT of the jitted solve — big arrays must not be
-    # closure constants (they inline into the program and overflow the
-    # remote compiler).
-    band_offsets = mg.ells[-1].offsets  # static band structure (reused)
-    # slot-padded assembly tables: faces grouped by (offset, poly) so the
-    # band reduction is pure einsum/sum/roll — TPU has no fast scatter OR
-    # gather (both measured at <1% of HBM bandwidth at this size)
-    groups = build_banded_groups(ah, band_offsets, dtype)
 
     # ONE jitted program: assembly (directly in the banded layout) + MG-CG
     # solve.  mg and the tables enter as pytree ARGUMENTS (closure capture

@@ -461,9 +461,12 @@ class Multigrid:
         # in-XLA scatter tile-pads a [nnz, nb, nb] intermediate 32x and
         # OOMs at scale; host conversion costs seconds at 10^6 rows);
         # then ONE jitted program for eigenvalue estimates + coarse LU.
+        from polydeal_tpu.sparse import BlockBanded as _BB
+
         ells = [
-            jax.jit(lambda A=A: A.to_banded_device())()
-            if A.banded_offsets().shape[0] <= 96 else A.to_ell()
+            A if isinstance(A, _BB)  # pre-banded (e.g. direct assembly)
+            else (jax.jit(lambda A=A: A.to_banded_device())()
+                  if A.banded_offsets().shape[0] <= 96 else A.to_ell())
             for A in matrices
         ]
         # attach the i-major copy driving the Pallas SpMV on big levels
