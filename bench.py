@@ -83,7 +83,7 @@ def main():
     mg = build_multigrid(handlers, parents, A0, dtype=dtype,
                          grid_shapes=grid_shapes,
                          chebyshev_degree=cheb_deg, n_smooth=n_smooth,
-                         precond_dtype=pdt)
+                         precond_dtype=pdt, level_assembly="banded")
 
     # ONE jitted program: assembly (directly in the banded layout) + MG-CG
     # solve.  mg and the tables enter as pytree ARGUMENTS (closure capture

@@ -646,6 +646,7 @@ def build_multigrid(
     precond_dtype=None,
     dtype=jnp.float64,
     matfree_fine: bool = False,
+    level_assembly: str = "tables",
 ) -> Multigrid:
     """Assemble the full MG preconditioner from a handler chain and the
     finest-level matrix.
@@ -681,7 +682,38 @@ def build_multigrid(
 
         fine_op = MatrixFreeLaplace(handlers[-1], dtype=dtype)
 
-    if mode == "direct":
+    if mode == "direct" and level_assembly == "banded":
+        from polydeal_tpu.assembly.sipg import (
+            assemble_sipg_banded_direct,
+            build_banded_groups,
+        )
+
+        matrices = []
+        for h in handlers[:-1]:
+            ft = h.faces
+            interior = ~ft.is_boundary
+            diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
+            offs = np.unique(np.concatenate(
+                [diffs, -diffs, np.zeros(1, dtype=np.int64)]))
+            groups = build_banded_groups(h, offs, dtype)
+            A_l = jax.jit(
+                lambda t, h=h, offs=offs: assemble_sipg_banded_direct(
+                    h, t, offsets=offs))(groups)
+            matrices.append(A_l)
+            del groups
+        if not (matfree_fine or A_fine is None):
+            matrices.append(A_fine)
+
+        @jax.jit
+        def _embed():
+            return [
+                build_embedding(handlers[l], handlers[l + 1], parents[l],
+                                dtype=dtype)
+                for l in range(len(handlers) - 1)
+            ]
+
+        Es = _embed()
+    elif mode == "direct":
         # one jitted program builds every coarse-level matrix and all
         # embeddings; per-level quadrature tables come in as arguments so
         # they aren't baked into the executable as constants

@@ -394,6 +394,18 @@ class BlockBanded:
     def __matmul__(self, x):
         return self.matvec(x)
 
+    def to_dense(self) -> jnp.ndarray:
+        """Dense matrix (use on small/coarse levels only)."""
+        P, nb = self.n_block_rows, self.n_basis
+        out = jnp.zeros((P, nb, P, nb), dtype=self.data.dtype)
+        for k, o in enumerate(self.offsets):
+            o = int(o)
+            p = np.arange(max(0, -o), min(P, P - o))
+            if p.size:
+                blocks = jnp.moveaxis(self.data[k][:, :, p], -1, 0)
+                out = out.at[p, :, p + o, :].add(blocks)
+        return out.reshape(P * nb, P * nb)
+
     def diagonal_t(self) -> jnp.ndarray:
         """Diagonal in transposed layout [nb, P]."""
         k0 = int(np.searchsorted(self.offsets, 0))

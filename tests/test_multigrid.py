@@ -162,3 +162,23 @@ def test_structured_hierarchy_matches_rtree():
 
     l2, _ = compute_global_error(hf, res.x, u_ex)
     assert abs(float(l2) - 0.056) < 0.002
+
+
+def test_banded_level_assembly_matches():
+    """level_assembly='banded' (memory-lean setup for 10^7+ DoF) gives
+    the same MG as the table-based per-level assembly."""
+    from polydeal_tpu.solvers import build_structured_hierarchy
+
+    mesh = pd.hyper_cube(2, 16)
+    handlers, parents, gs = build_structured_hierarchy(mesh, 16, degree=1)
+    ah = handlers[-1]
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    A = assemble_sipg_matrix(ah)
+    b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    mg_a = build_multigrid(handlers, parents, A, grid_shapes=gs)
+    mg_b = build_multigrid(handlers, parents, A, grid_shapes=gs,
+                           level_assembly="banded")
+    ra = mg_a.solve_cg(b, rtol=1e-9)
+    rb = mg_b.solve_cg(b, rtol=1e-9)
+    assert abs(int(ra.iterations) - int(rb.iterations)) <= 1
+    assert np.allclose(np.asarray(ra.x), np.asarray(rb.x), atol=1e-7)
