@@ -99,21 +99,31 @@ def main():
     mg.ells[-1] = _BB(_e.data[:, :, :, :0], _e.offsets, _e.n_block_cols)
 
     @jax.jit
-    def assemble_and_solve(tabs, m):
+    def assemble_and_solve(tabs, m, scale):
         A_band = assemble_sipg_banded_direct(ah, tabs, offsets=band_offsets)
-        b = assemble_rhs_direct(ah, tabs, f, u_ex)
+        # `scale` keeps every timed call's inputs unique so no layer can
+        # dedupe identical (executable, inputs) executions; it multiplies
+        # the rhs, leaving iteration counts untouched
+        b = assemble_rhs_direct(ah, tabs, f, u_ex) * scale
         # Pallas layout; the o-major copy is dropped after the transpose
         # (the direct-imajor emission exists but its concat layout halves
         # the SpMV rate — the transient o-major here is the fast path)
         m.ells[-1] = A_band.with_imajor(drop_omajor=True)
         return m.solve_cg(b, rtol=rtol, maxiter=100)
 
-    res = assemble_and_solve(groups, mg)
-    jax.block_until_ready(res.x)
-    t0 = time.perf_counter()
-    res = assemble_and_solve(groups, mg)
-    jax.block_until_ready(res.x)
-    elapsed = time.perf_counter() - t0
+    import jax.numpy as jnp2
+
+    res = assemble_and_solve(groups, mg, jnp2.float32(1.0))
+    float(jnp.sum(res.x))  # host read: guarantees remote completion
+    times = []
+    for k in range(3):
+        t0 = time.perf_counter()
+        res = assemble_and_solve(groups, mg, jnp2.float32(1.0 + 1e-6 * (k + 1)))
+        # block_until_ready alone can return before the tunneled remote
+        # execution finishes; a host read of the result cannot
+        float(jnp.sum(res.x))
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
     t_asm = t_cvt = 0.0
     t_slv = elapsed
 
