@@ -92,6 +92,9 @@ class PolyReducer:
         self._cache = {}
 
     def __call__(self, contrib, idx):
+        # key by id BUT retain the array in the cache entry: if the index
+        # array were gc'd and its id reused, a stale map would silently be
+        # returned — holding the reference keeps the id valid forever
         key = id(idx)
         if key not in self._cache:
             from polydeal_tpu.utils.grouping import padded_group_lists
@@ -99,8 +102,8 @@ class PolyReducer:
             members, _ = padded_group_lists(idx, self.n_poly)
             mask = (members >= 0).astype(np.float64)
             ent = np.maximum(members, 0)
-            self._cache[key] = (ent, mask)
-        ent, mask = self._cache[key]
+            self._cache[key] = (idx, ent, mask)
+        _, ent, mask = self._cache[key]
         return jnp.einsum(
             "pc,pci->pi", jnp.asarray(mask, contrib.dtype), contrib[ent]
         )

@@ -291,6 +291,7 @@ def _volume_impl(pts, w, inv_ext, degree, dim, q, interpret):
     P = w.shape[-1]
     T = _pick_tile(P, 4 * (nb * (1 + dim) * q + nb * nb
                            + dim * q + q + dim))
+    assert T is not None, "no valid lane tile (P not divisible by 128?)"
 
     def kernel(p_ref, w_ref, e_ref, out_ref):
         wq = w_ref[:, :]

@@ -160,7 +160,11 @@ def build_halo_exchange(cols: np.ndarray, per: int, n_dev: int):
     for d in range(n_dev):
         remote = np.unique(cols[d][owner[d] != d])
         need.append(remote)
-        deltas.update(((remote // per - d) % n_dev).tolist())
+        # delta = (needer - owner) mod n_dev, matching the send routing
+        # dst = (sender + delta) below (the previous (owner - needer)
+        # orientation only worked because SIPG sparsity is structurally
+        # symmetric, closing the delta set under negation)
+        deltas.update(((d - remote // per) % n_dev).tolist())
     deltas = tuple(sorted(int(x) for x in deltas))
     sends = []
     recv_maps = [{} for _ in range(n_dev)]  # global col -> halo slot

@@ -67,6 +67,7 @@ def interpolate_to_fine_grid(
     degree: int | None = None,
     family: str = "dgq",
     n_components: int = 1,
+    basis=None,
 ):
     """Interpolate a polytopal DG field onto a DG space on the fine
     background mesh (reference poly_utils.h:1145-1458, incl. the system
@@ -81,12 +82,18 @@ def interpolate_to_fine_grid(
     [n_poly, n_components, n_basis] (the FESystem layout of the coupled
     apps); output is [n_cells, n_components, n_fine_basis]
     (squeezed for scalars).
+
+    ``basis`` overrides the source basis (default: the handler's own) —
+    required for mixed-degree system fields whose basis differs from the
+    handler's (the reference's hp interpolation variant,
+    poly_utils.h:1322-1458).
     """
     from polydeal_tpu.fem.basis import make_basis, _gauss_lobatto_01
     from polydeal_tpu.fem.quadrature import tensor_gauss
 
+    basis = basis or ah.basis
     if degree is None:
-        degree = ah.degree
+        degree = basis.degree
     fine = make_basis(family, ah.dim, degree)
     if family == "dgq":
         nodes1d = _gauss_lobatto_01(degree + 1)
@@ -105,9 +112,9 @@ def interpolate_to_fine_grid(
     # real coords of each cell's sample points, pulled back to the bbox
     real = ah.mesh.map_points(unit_pts)  # [n_c, n_pts, dim]
     unit_in_poly = ah.to_unit(ah.cell2poly, real)
-    B = ah.basis.eval(jnp.asarray(unit_in_poly))  # [n_c, n_pts, nb]
+    B = basis.eval(jnp.asarray(unit_in_poly))  # [n_c, n_pts, nb]
     ub = u.reshape(ah.n_poly, n_components,
-                   ah.n_basis)[jnp.asarray(ah.cell2poly)]
+                   basis.n_basis)[jnp.asarray(ah.cell2poly)]
     vals = jnp.einsum("cni,cdi->cdn", B, ub)  # [n_c, comp, n_pts]
     if W is not None:
         vals = jnp.einsum("cdq,qj->cdj", vals, W)
@@ -127,5 +134,6 @@ def interpolate_field_to_fine_grid(space, ah, x, name: str,
     full = full.at[jnp.asarray(f.polys)].set(ub)
     out = interpolate_to_fine_grid(ah, full.reshape(-1), degree=degree,
                                    family=family,
-                                   n_components=f.n_components)
+                                   n_components=f.n_components,
+                                   basis=f.basis)
     return out if f.n_components > 1 else out[:, None, :]

@@ -5,6 +5,7 @@ from polydeal_tpu.solvers.multigrid import (
     Transfer,
     build_embedding,
     build_multigrid,
+    maybe_pack_level,
     build_rtree_hierarchy,
     build_structured_hierarchy,
     galerkin_coarsen,
@@ -19,6 +20,7 @@ __all__ = [
     "Transfer",
     "build_embedding",
     "build_multigrid",
+    "maybe_pack_level",
     "build_rtree_hierarchy",
     "build_structured_hierarchy",
     "galerkin_coarsen",

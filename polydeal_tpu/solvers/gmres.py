@@ -73,9 +73,15 @@ def gmres_solve(
             V, Z, H, cs, sn, g = carry
             z = M(V[j])
             w = A(z)
-            # modified Gram-Schmidt against all basis vectors (masked)
-            h = V @ w  # [m+1]; rows > j are zero vectors -> harmless
+            # classical Gram-Schmidt with one reorthogonalization pass
+            # (CGS2): a single projection loses orthogonality on
+            # ill-conditioned systems; the second pass restores it to
+            # machine precision (rows > j of V are zero -> harmless)
+            h = V @ w  # [m+1]
             w = w - h @ V
+            h2 = V @ w
+            w = w - h2 @ V
+            h = h + h2
             hj1 = jnp.linalg.norm(w)
             V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0))
             Z = Z.at[j].set(z)

@@ -54,6 +54,7 @@ __all__ = [
     "Transfer",
     "Multigrid",
     "build_rtree_hierarchy",
+    "maybe_pack_level",
 ]
 
 
@@ -462,9 +463,10 @@ class Multigrid:
         # OOMs at scale; host conversion costs seconds at 10^6 rows);
         # then ONE jitted program for eigenvalue estimates + coarse LU.
         from polydeal_tpu.sparse import BlockBanded as _BB
+        from polydeal_tpu.sparse import BlockPacked as _BP
 
         ells = [
-            A if isinstance(A, _BB)  # pre-banded (e.g. direct assembly)
+            A if isinstance(A, (_BB, _BP))  # pre-banded/packed
             else (jax.jit(lambda A=A: A.to_banded_device())()
                   if A.banded_offsets().shape[0] <= 96 else A.to_ell())
             for A in matrices
@@ -520,6 +522,8 @@ class Multigrid:
             def _lo(e):
                 if isinstance(e, MatrixFreeLevel):
                     return e  # matrix-free preconditioner stays f32
+                if isinstance(e, _BP):
+                    return e.astype(precond_dtype)
                 if isinstance(e, BlockBanded):
                     lo = BlockBanded(e.data.astype(precond_dtype),
                                      e.offsets, e.n_block_cols)
@@ -634,6 +638,41 @@ class Multigrid:
         return cg_solve(A.matvec, b, M=self.v_cycle, rtol=rtol, maxiter=maxiter)
 
 
+def maybe_pack_level(h, A, pack: bool | None = None, min_P: int = 4096):
+    """Convert a wide-offset BlockBanded level to the per-lane packed
+    format (sparse.BlockPacked / ops/packed.py) when profitable.
+
+    The SFC (R-tree leaf-rank) polytope ordering gives ~6*dim distinct
+    band offsets while every lane touches <= 2*dim + 1; the dense band
+    then streams ~n_off/K times the necessary matrix data per SpMV.
+    ``pack=None`` packs automatically on TPU; ``pack=True`` forces
+    (interpret-mode kernel on CPU — tests only); ``pack=False`` disables.
+    """
+    from polydeal_tpu.ops.packed import build_pack_plan, packed_supported
+    from polydeal_tpu.sparse import BlockBanded, BlockPacked
+
+    if pack is False or not isinstance(A, BlockBanded):
+        return A
+    if pack is None and jax.default_backend() != "tpu":
+        return A
+    P, nb = A.n_block_rows, A.n_basis
+    if (pack is None and P < min_P) or P % 128 != 0:
+        return A
+    ft = h.faces
+    interior = ~ft.is_boundary
+    plan, oid, frows, fcols = build_pack_plan(
+        ft.poly_in[interior], ft.poly_out[interior], P, nb,
+        offsets=A.offsets)
+    n_off = A.offsets.shape[0]
+    if pack is None and plan.K + 2 >= n_off:
+        return A  # narrow band: the roll/i-major kernel is already tight
+    if not packed_supported(P, nb, plan.K, A.data.dtype.itemsize):
+        return A
+    oid_dev = jnp.asarray(oid)
+    return jax.jit(lambda a, o: a.to_packed(plan, o, frows, fcols))(
+        A, oid_dev)
+
+
 def build_multigrid(
     handlers: list,
     parents: list,
@@ -647,6 +686,7 @@ def build_multigrid(
     dtype=jnp.float64,
     matfree_fine: bool = False,
     level_assembly: str = "tables",
+    pack: bool | None = None,
 ) -> Multigrid:
     """Assemble the full MG preconditioner from a handler chain and the
     finest-level matrix.
@@ -689,7 +729,7 @@ def build_multigrid(
         )
 
         matrices = []
-        for h in handlers[:-1]:
+        for li, h in enumerate(handlers[:-1]):
             ft = h.faces
             interior = ~ft.is_boundary
             diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
@@ -699,10 +739,12 @@ def build_multigrid(
             A_l = jax.jit(
                 lambda t, h=h, offs=offs: assemble_sipg_banded_direct(
                     h, t, offsets=offs))(groups)
-            matrices.append(A_l)
+            # the coarsest level stays banded: the coarse LU needs
+            # to_dense, and its P is tiny anyway
+            matrices.append(A_l if li == 0 else maybe_pack_level(h, A_l, pack))
             del groups
         if not (matfree_fine or A_fine is None):
-            matrices.append(A_fine)
+            matrices.append(maybe_pack_level(handlers[-1], A_fine, pack))
 
         @jax.jit
         def _embed():

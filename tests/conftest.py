@@ -24,3 +24,12 @@ import jax
 # config knob reliably pins the backend
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the suite is dominated by repeated
+# MG/sharding compiles — caching across runs/chunks cuts wall time
+_cache_dir = os.environ.get("POLYDEAL_JAX_CACHE",
+                            os.path.expanduser("~/.cache/polydeal_jax"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

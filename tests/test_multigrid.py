@@ -182,3 +182,34 @@ def test_banded_level_assembly_matches():
     rb = mg_b.solve_cg(b, rtol=1e-9)
     assert abs(int(ra.iterations) - int(rb.iterations)) <= 1
     assert np.allclose(np.asarray(ra.x), np.asarray(rb.x), atol=1e-7)
+
+
+def test_packed_level_mg_matches():
+    """pack=True (the wide-offset R-tree fast path: conflict-colored
+    per-lane slots + the resident-x Pallas kernel, interpret mode on
+    CPU) must reproduce the banded MG solve."""
+    from polydeal_tpu.sparse import BlockPacked
+    from polydeal_tpu.assembly.sipg import (
+        assemble_sipg_banded_direct, build_banded_groups)
+
+    handlers, parents = make_hierarchy(n=16, degree=1, dim=2, start=1)
+    ah = handlers[-1]
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
+    offs = np.unique(np.concatenate([diffs, -diffs,
+                                     np.zeros(1, dtype=np.int64)]))
+    groups = build_banded_groups(ah, offs, jnp.float64)
+    A = assemble_sipg_banded_direct(ah, groups, offsets=offs,
+                                    use_pallas=False)
+    b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    mg_a = build_multigrid(handlers, parents, A, level_assembly="banded",
+                           pack=False)
+    mg_b = build_multigrid(handlers, parents, A, level_assembly="banded",
+                           pack=True)
+    assert isinstance(mg_b.ells[-1], BlockPacked)
+    ra = mg_a.solve_cg(b, rtol=1e-9)
+    rb = mg_b.solve_cg(b, rtol=1e-9)
+    assert abs(int(ra.iterations) - int(rb.iterations)) <= 1
+    assert np.allclose(np.asarray(ra.x), np.asarray(rb.x), atol=1e-7)

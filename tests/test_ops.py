@@ -179,3 +179,101 @@ def test_gmres_preconditioned_restarted():
                       M=lambda v: dinv * v, restart=30, rtol=1e-10)
     x_ref = np.linalg.solve(A, b)
     assert np.abs(np.asarray(res.x) - x_ref).max() < 1e-7
+
+
+def _rtree_leaf_band(n=16, dim=2):
+    """Leaf-level SIPG band under the STR (SFC) ordering: several
+    distinct offsets, bounded per-lane degree — the packed format's
+    target sparsity."""
+    from polydeal_tpu.agglomeration import RTreeAgglomerator
+
+    mesh = pd.hyper_cube(dim, n)
+    agg = RTreeAgglomerator.build(mesh.cell_centers())
+    c2p = agg.extract_agglomerates(agg.n_levels - 1)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=1)
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
+    offs = np.unique(np.concatenate([diffs, -diffs,
+                                     np.zeros(1, dtype=np.int64)]))
+    groups = build_banded_groups(ah, offs, jnp.float32)
+    A = assemble_sipg_banded_direct(ah, groups, offsets=offs,
+                                    use_pallas=False)
+    return ah, A, offs
+
+
+def test_packed_matvec_matches_banded():
+    """BlockPacked (conflict-colored per-lane slots) must reproduce the
+    dense-band SpMV exactly; K must be far below n_off."""
+    from polydeal_tpu.ops.packed import build_pack_plan
+    from polydeal_tpu.sparse import BlockPacked
+
+    ah, A, offs = _rtree_leaf_band()
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    plan, oid, frows, fcols = build_pack_plan(
+        ft.poly_in[interior], ft.poly_out[interior],
+        ah.n_poly, ah.n_basis, offsets=offs)
+    assert plan.K <= 2 * ah.dim + 1
+    assert plan.K < len(plan.offsets)
+    packed = A.to_packed(plan, jnp.asarray(oid), frows, fcols)
+    assert isinstance(packed, BlockPacked)
+    rng = np.random.default_rng(3)
+    xt = jnp.asarray(rng.standard_normal((ah.n_basis, ah.n_poly)),
+                     dtype=A.data.dtype)
+    y_band = A.matvec_t(xt)
+    y_pack = packed.matvec_t(xt)
+    err = float(jnp.abs(y_band - y_pack).max() / jnp.abs(y_band).max())
+    assert err < 1e-5
+    # diagonal extraction
+    d0 = np.asarray(A.diagonal_t())
+    d1 = np.asarray(packed.diagonal_t())
+    assert np.allclose(d0, d1)
+
+
+def test_packed_plan_covers_every_block():
+    """Every (lane, offset) nonzero must land in exactly one slot."""
+    from polydeal_tpu.ops.packed import build_pack_plan
+
+    ah, A, offs = _rtree_leaf_band(n=4, dim=3)
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    plan, oid, frows, fcols = build_pack_plan(
+        ft.poly_in[interior], ft.poly_out[interior],
+        ah.n_poly, ah.n_basis, offsets=offs)
+    P = ah.n_poly
+    pairs = {(int(a), int(b)) for a, b in zip(frows, fcols)}
+    for k in range(plan.K):
+        for p in range(P):
+            if oid[k, p] >= 0:
+                pair = (p, p + plan.offsets[oid[k, p]])
+                assert pair not in pairs
+                pairs.add(pair)
+    want = {(int(a), int(b)) for a, b in zip(ft.poly_in[interior],
+                                             ft.poly_out[interior])}
+    want |= {(b, a) for a, b in want}
+    want |= {(p, p) for p in range(P)}
+    assert pairs == want
+
+
+def test_packed_far_tail_matches():
+    """Force a tiny near_limit so part of the band goes through the far
+    block-COO path; the sum must still match the dense band."""
+    from polydeal_tpu.ops.packed import build_pack_plan
+    from polydeal_tpu.sparse import BlockPacked
+
+    ah, A, offs = _rtree_leaf_band(n=16, dim=2)
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    plan, oid, frows, fcols = build_pack_plan(
+        ft.poly_in[interior], ft.poly_out[interior],
+        ah.n_poly, ah.n_basis, offsets=offs, near_limit=8)
+    assert frows.size > 0  # the far path is actually exercised
+    packed = A.to_packed(plan, jnp.asarray(oid), frows, fcols)
+    rng = np.random.default_rng(5)
+    xt = jnp.asarray(rng.standard_normal((ah.n_basis, ah.n_poly)),
+                     dtype=A.data.dtype)
+    y_band = A.matvec_t(xt)
+    y_pack = packed.matvec_t(xt)
+    err = float(jnp.abs(y_band - y_pack).max() / jnp.abs(y_band).max())
+    assert err < 1e-10

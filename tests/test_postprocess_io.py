@@ -180,6 +180,49 @@ def test_interpolate_field_system():
     assert np.allclose(np.asarray(out[:, 1]), 2.0)
 
 
+def test_interpolate_field_mixed_degree():
+    """A field whose basis degree differs from the handler's (the
+    darcy_stokes/oseen pressure layout: degree-1 field on a degree-2
+    handler) must interpolate exactly — regression for the basis/n_basis
+    mismatch that raised on reshape."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.agglomeration import agglomerate_by_partition
+    from polydeal_tpu.fem.basis import LegendreDGP
+    from polydeal_tpu.fem.system import Field, SystemSpace
+    from polydeal_tpu.postprocess import interpolate_field_to_fine_grid
+
+    mesh = pd.hyper_cube(2, 4)
+    c2p = agglomerate_by_partition(mesh.cell_centers(), mesh.neighbors, 4)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=2)  # handler degree 2
+    p1 = LegendreDGP(2, 1)  # field degree 1 (nb = 3 != handler nb = 6)
+    f = Field("p", p1, 1, np.arange(ah.n_poly))
+    space = SystemSpace(ah, [f])
+    # affine field 1 + x - 2y, expressed in each polytope's modal basis
+    # via L2 projection on the bbox (exact for degree >= 1)
+    from polydeal_tpu.fem.quadrature import tensor_gauss
+
+    pts, wts = tensor_gauss(2, 3)
+    x_np = np.zeros((f.n_polys, 1, p1.n_basis))
+    B = np.asarray(p1.eval(jnp.asarray(pts)))  # [q, nb]
+    for k in range(ah.n_poly):
+        real = ah.bbox_lo[k] + pts * ah.extents[k]
+        vals = 1.0 + real[:, 0] - 2 * real[:, 1]
+        x_np[k, 0] = B.T @ (wts * vals)  # orthonormal basis: M = I
+    out = interpolate_field_to_fine_grid(
+        space, ah, jnp.asarray(x_np.reshape(-1)), "p")
+    # evaluate nodal DGQ(1) output at its own support points = cell
+    # corners; compare against the affine exact field
+    from polydeal_tpu.fem.basis import make_basis, _gauss_lobatto_01
+
+    fine = make_basis("dgq", 2, 1)
+    nodes1d = _gauss_lobatto_01(2)
+    E = fine.exponents
+    unit = np.stack([nodes1d[E[:, d]] for d in range(2)], axis=-1)
+    real = np.asarray(mesh.map_points(unit))  # [n_c, 4, 2]
+    exact = 1.0 + real[..., 0] - 2 * real[..., 1]
+    assert np.abs(np.asarray(out[:, 0]) - exact).max() < 1e-10
+
+
 def test_h_orthogonal_penalty_ab():
     """A/B: diameter- vs h_perp-scaled penalty on a distorted grid —
     both must solve the same problem to discretization accuracy
