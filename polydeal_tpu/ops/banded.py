@@ -249,3 +249,34 @@ def banded_matvec_t_pallas(data, offsets: np.ndarray, xt, *,
     data2 = data.reshape(n_rows, P)
     y = _banded_matvec_impl(data2, xpad, offsets, nb, interpret)
     return y.astype(xt.dtype)
+
+
+def banded_tile(P: int, n_off: int, nb: int, itemsize: int = 4) -> int | None:
+    """Lane tile of the i-major kernel for these sizes (= sharded halo).
+
+    Uses the i-major row count nb * R_pad (R_pad = n_off*nb rounded up
+    to 8 sublanes) so the choice matches what banded_matvec_t_halo
+    derives from data_i.shape[0]."""
+    R_pad = -(-n_off * nb // 8) * 8
+    return pick_tile(P, nb * R_pad, itemsize)
+
+
+def banded_matvec_t_halo(data_i, offsets, nb: int, x_ext, *,
+                         interpret: bool = False):
+    """Sharded-slab i-major banded SpMV: ``x_ext`` [nb, per + 2T] carries
+    real halo lanes from neighbor shards instead of zero padding; every
+    offset must satisfy |o| <= T (no pre-rolled far copies — rolls are
+    global and would be wrong on a shard)."""
+    import jax.numpy as jnp
+
+    offsets = tuple(int(o) for o in np.asarray(offsets))
+    P = data_i.shape[1]
+    T = pick_tile(P, data_i.shape[0], data_i.dtype.itemsize)
+    assert T is not None, "no valid lane tile for this per-shard P"
+    assert x_ext.shape[-1] == P + 2 * T, "halo width must equal the tile"
+    assert all(abs(o) <= T for o in offsets), "far offset on a shard"
+    xin = x_ext if x_ext.dtype == jnp.float64 else x_ext.astype(jnp.float32)
+    xfar = jnp.zeros((1,) + xin[:, :P].shape, dtype=jnp.float32)
+    y = _banded_matvec_imajor_impl(data_i, xin, xfar, offsets, nb,
+                                   interpret)
+    return y.astype(x_ext.dtype)

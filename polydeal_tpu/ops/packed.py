@@ -264,3 +264,30 @@ def packed_matvec_t(data_i, oid, plan: PackPlan, xt, *,
     xpad = jnp.pad(xin, ((0, 0), (T, T)))
     y = _packed_matvec_impl(data_i, oid, xpad, plan, interpret)
     return y.astype(xt.dtype)
+
+
+def packed_tile(P: int, nb: int, K: int, itemsize: int = 4) -> int | None:
+    """The lane tile T the kernel will pick for these sizes — also the
+    halo width a sharded caller must provide."""
+    R_pad = -(-K * nb // 16) * 16
+    return pick_tile_packed(P, nb * R_pad, itemsize)
+
+
+def packed_matvec_t_halo(data_i, oid, plan: PackPlan, x_ext, *,
+                         interpret: bool = False):
+    """Sharded-slab variant: ``x_ext`` [nb, per + 2T] carries REAL halo
+    lanes (from neighboring shards, via ppermute) where the unsharded
+    path pads zeros — the kernel is bitwise the same.  The zero blocks
+    stored at rows whose neighbor is outside the global range make the
+    ring-wrapped halo values exact, mirroring the roll contract of
+    BlockBanded.matvec_t."""
+    import jax.numpy as jnp
+
+    nb = plan.nb
+    P = data_i.shape[-1]
+    T = pick_tile_packed(P, nb * plan.R_pad, data_i.dtype.itemsize)
+    assert T is not None, "no valid lane tile for this per-shard P"
+    assert x_ext.shape[-1] == P + 2 * T, "halo width must equal the tile"
+    xin = x_ext if x_ext.dtype == jnp.float64 else x_ext.astype(jnp.float32)
+    y = _packed_matvec_impl(data_i, oid, xin, plan, interpret)
+    return y.astype(x_ext.dtype)

@@ -638,7 +638,8 @@ class Multigrid:
         return cg_solve(A.matvec, b, M=self.v_cycle, rtol=rtol, maxiter=maxiter)
 
 
-def maybe_pack_level(h, A, pack: bool | None = None, min_P: int = 4096):
+def maybe_pack_level(h, A, pack: bool | None = None, min_P: int = 4096,
+                     near_limit: int | None = None):
     """Convert a wide-offset BlockBanded level to the per-lane packed
     format (sparse.BlockPacked / ops/packed.py) when profitable.
 
@@ -662,7 +663,7 @@ def maybe_pack_level(h, A, pack: bool | None = None, min_P: int = 4096):
     interior = ~ft.is_boundary
     plan, oid, frows, fcols = build_pack_plan(
         ft.poly_in[interior], ft.poly_out[interior], P, nb,
-        offsets=A.offsets)
+        offsets=A.offsets, near_limit=near_limit)
     n_off = A.offsets.shape[0]
     if pack is None and plan.K + 2 >= n_off:
         return A  # narrow band: the roll/i-major kernel is already tight
@@ -687,6 +688,7 @@ def build_multigrid(
     matfree_fine: bool = False,
     level_assembly: str = "tables",
     pack: bool | None = None,
+    pack_near_limit: int | None = None,
 ) -> Multigrid:
     """Assemble the full MG preconditioner from a handler chain and the
     finest-level matrix.
@@ -741,10 +743,12 @@ def build_multigrid(
                     h, t, offsets=offs))(groups)
             # the coarsest level stays banded: the coarse LU needs
             # to_dense, and its P is tiny anyway
-            matrices.append(A_l if li == 0 else maybe_pack_level(h, A_l, pack))
+            matrices.append(A_l if li == 0 else maybe_pack_level(
+                h, A_l, pack, near_limit=pack_near_limit))
             del groups
         if not (matfree_fine or A_fine is None):
-            matrices.append(maybe_pack_level(handlers[-1], A_fine, pack))
+            matrices.append(maybe_pack_level(handlers[-1], A_fine, pack,
+                                             near_limit=pack_near_limit))
 
         @jax.jit
         def _embed():
