@@ -681,6 +681,26 @@ def assemble_sipg_banded_direct(
     return _emit_banded(pieces, offsets, nb, P, layout)
 
 
+def assemble_mass_banded_direct(ah: AgglomerationHandler, tables: dict,
+                                coeff_fn=None, basis=None):
+    """Block-diagonal mass matrix over the slot-padded tables, in the
+    band-row layout [nb, nb, P] (add it to a band's offset-0 row).
+
+    The monodomain per-level operator is sigma*K + c*M
+    (reference utils.h:1128-1137); this keeps the whole level assembly
+    on the lane-aligned direct path.
+    """
+    basis = basis or ah.basis
+    vol = tables["vol"]
+    B = basis.eval_t(vol["pts"])  # [C, q, nb, P]
+    w = vol["w"]
+    if coeff_fn is not None:
+        ext_t, lo_t = tables["ext_t"], tables["lo_t"]
+        r = lo_t[None, None] + vol["pts"] * ext_t[None, None]
+        w = w * coeff_fn(jnp.moveaxis(r, 2, -1))
+    return jnp.einsum("cqip,cqjp,cqp->ijp", B, B, w)
+
+
 def _boundary_band_xla(ah, tables, penalty_constant, basis, ext_t, nb, P):
     """Boundary Nitsche contribution to the diagonal band row (XLA
     einsums — boundary face counts are a surface term, too small to be

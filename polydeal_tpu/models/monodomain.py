@@ -63,45 +63,59 @@ def ionic_rates(u, p: BuenoOrovioParams):
     return alpha, beta, winf
 
 
-def ionic_current(u, w, p: BuenoOrovioParams):
-    """I_ion(u, w) (reference Iion, monodomain_DG3D.cc:1258-1278)."""
-    i_fi = (-_hs(u, p.V1) * (u - p.V1) * (p.Vhat - u) * w[..., 0]) / p.taufi
+def ionic_current_parts(u, w0, w1, w2, p: BuenoOrovioParams):
+    """I_ion from separate gating components (layout-agnostic)."""
+    i_fi = (-_hs(u, p.V1) * (u - p.V1) * (p.Vhat - u) * w0) / p.taufi
     i_so = ((1.0 - _hs(u, p.V2)) * (u - p.Vo)) / (
         _hs(u, p.Vo) * (p.tauopp - p.tauop) + p.tauop
     ) + _hs(u, p.V2) / (_h(u, p.Vso, p.kso) * (p.tausopp - p.tausop) + p.tausop)
-    i_si = -(_hs(u, p.V2) * w[..., 1] * w[..., 2]) / p.tausi
+    i_si = -(_hs(u, p.V2) * w1 * w2) / p.tausi
     return i_fi + i_so + i_si
+
+
+def ionic_current(u, w, p: BuenoOrovioParams):
+    """I_ion(u, w) (reference Iion, monodomain_DG3D.cc:1258-1278)."""
+    return ionic_current_parts(u, w[..., 0], w[..., 1], w[..., 2], p)
 
 
 @dataclass
 class MonodomainSolver:
-    """Holds the discrete operators and the jitted IMEX step."""
+    """Holds the discrete operators and the jitted IMEX step.
+
+    All quadrature-state arrays are LANE-ALIGNED (entity last): the
+    basis table is [C, q, nb, P], the gating state [3, C, q, P] — the
+    COO/[n_c, q, nb] layouts tile-pad their tiny minor axes 32x on TPU
+    and dominated the step cost.  Level matrices are assembled directly
+    in the banded layout (sigma*K + c*M in the diagonal band row), so
+    the solver scales to 10^7-DoF hierarchies like the Poisson bench.
+    """
 
     cfg: MonodomainConfig
     handler: object
     mg: object
-    B: object  # [n_c, q, nb] basis values at quadrature
-    w_q: object  # [n_c, q] quadrature weights (JxW)
-    x_q: object  # [n_c, q, dim]
-    stim_mask: object  # [n_c, q]
-    A: object = None  # finest-level system matrix (Jacobi fallback path)
+    B_t: object  # [C, q, nb, P] basis values at quadrature (lane-major)
+    w_t: object  # [C, q, P] quadrature weights (JxW)
+    stim_t: object  # [C, q, P] stimulus mask
+    A: object = None  # finest-level matrix (Jacobi fallback path)
 
     @classmethod
-    def build(cls, cfg: MonodomainConfig, dtype=None, mesh=None):
+    def build(cls, cfg: MonodomainConfig, dtype=None, mesh=None,
+              pack=None):
         import jax
         import jax.numpy as jnp
         import polydeal_tpu as pd
         from polydeal_tpu.agglomeration import RTreeAgglomerator
-        from polydeal_tpu.assembly import (
-            assemble_sipg_matrix,
-            mass_matrix,
-            build_volume_tables,
+        from polydeal_tpu.assembly.sipg import (
+            assemble_mass_banded_direct,
+            assemble_sipg_banded_direct,
+            build_banded_groups,
         )
         from polydeal_tpu.solvers import build_rtree_hierarchy
         from polydeal_tpu.solvers.multigrid import (
             Multigrid,
             Transfer,
             build_embedding,
+            maybe_pack_level,
         )
 
         if dtype is None:
@@ -125,16 +139,41 @@ class MonodomainSolver:
             for l in range(len(handlers) - 1)
         ]
 
-        @jax.jit
-        def _levels():
-            mats = []
-            for h in handlers:
-                K = assemble_sipg_matrix(h, dtype=dtype)
-                M = mass_matrix(h, dtype=dtype)
-                mats.append(K.scale(p.sigma).add(M.scale(mass_coeff)))
-            return mats
+        # per-level banded assembly: sigma*K + mass_coeff*M with the mass
+        # added into the diagonal band row (reference operator
+        # utils.h:1128-1137), memory-lean at 10^7+ DoF
+        matrices = []
+        fine_groups = None
+        for li, h in enumerate(handlers):
+            ft = h.faces
+            interior = ~ft.is_boundary
+            import numpy as _np
 
-        matrices = _levels()
+            diffs = (ft.poly_out - ft.poly_in)[interior].astype(_np.int64)
+            offs = _np.unique(_np.concatenate(
+                [diffs, -diffs, _np.zeros(1, dtype=_np.int64)]))
+            groups = build_banded_groups(h, offs, dtype)
+
+            @jax.jit
+            def _asm(t, h=h, offs=offs):
+                K = assemble_sipg_banded_direct(h, t, offsets=offs)
+                Md = assemble_mass_banded_direct(h, t)
+                K = BlockBandedScale(K, p.sigma)
+                return K.add_to_diagonal_band(mass_coeff * Md)
+
+            from polydeal_tpu.sparse import BlockBanded
+
+            def BlockBandedScale(K, a):
+                return BlockBanded(K.data * a, K.offsets, K.n_block_cols)
+
+            A_l = _asm(groups)
+            if li == len(handlers) - 1:
+                fine_groups = groups
+                A_fine_band = A_l
+            if li > 0:
+                A_l = maybe_pack_level(h, A_l, pack)
+            matrices.append(A_l)
+
         if cfg.multigrid.preconditioner == "agglomg" and len(matrices) > 1:
             mg = Multigrid.setup(
                 matrices, transfers,
@@ -145,38 +184,43 @@ class MonodomainSolver:
         else:
             mg = None
 
-        vol = build_volume_tables(ah, dtype)
-        x0 = jnp.zeros(ah.dim, dtype=dtype)  # stimulus at the origin corner
-        dist = jnp.linalg.norm(vol.x - x0, axis=-1)
-        stim_mask = (dist < cfg.stimulus_radius).astype(dtype)
-        return cls(cfg=cfg, handler=ah, mg=mg, B=vol.B, w_q=vol.w, x_q=vol.x,
-                   stim_mask=stim_mask, A=matrices[-1])
+        # lane-aligned quadrature tables straight from the slot-padded
+        # volume group (cells ordered by polytope lane)
+        vol = fine_groups["vol"]
+        B_t = ah.basis.eval_t(vol["pts"]).astype(dtype)  # [C, q, nb, P]
+        ext_t, lo_t = fine_groups["ext_t"], fine_groups["lo_t"]
+        real = lo_t[None, None] + vol["pts"] * ext_t[None, None]
+        # [C, q, dim, P] -> distance from the origin corner
+        dist = jnp.sqrt(jnp.sum(real**2, axis=2))  # [C, q, P]
+        stim_t = (dist < cfg.stimulus_radius).astype(dtype)
+        return cls(cfg=cfg, handler=ah, mg=mg, B_t=B_t, w_t=vol["w"],
+                   stim_t=stim_t, A=A_fine_band)
 
     # ------------------------------------------------------------------
     def initial_state(self):
         import jax.numpy as jnp
 
         ah = self.handler
-        u = jnp.zeros(ah.n_dofs, dtype=self.B.dtype)
-        # w = (1, 1, 0) resting state
+        u = jnp.zeros(ah.n_dofs, dtype=self.B_t.dtype)
+        # w = (1, 1, 0) resting state, lane-aligned [3, C, q, P]
         w = jnp.stack([
-            jnp.ones_like(self.w_q), jnp.ones_like(self.w_q),
-            jnp.zeros_like(self.w_q)
-        ], axis=-1)
+            jnp.ones_like(self.w_t), jnp.ones_like(self.w_t),
+            jnp.zeros_like(self.w_t)
+        ], axis=0)
         return u, w
 
     def u_at_quad(self, u):
+        """[C, q, P] potential at quadrature points."""
         import jax.numpy as jnp
 
         ah = self.handler
-        ub = u.reshape(ah.n_poly, ah.n_basis)[jnp.asarray(ah.cell2poly)]
-        return jnp.einsum("cqi,ci->cq", self.B, ub)
+        ut = u.reshape(ah.n_poly, ah.n_basis).T  # [nb, P]
+        return jnp.einsum("cqip,ip->cqp", self.B_t, ut)
 
     def step(self, u_n, u_nm1, w, t, first_step: bool):
         """One IMEX BDF step; returns (u_np1, w_np1, iterations)."""
         import jax
         import jax.numpy as jnp
-        from polydeal_tpu.assembly.matfree import PolyReducer
         from polydeal_tpu.solvers import cg_solve, block_jacobi_preconditioner
 
         cfg, p = self.cfg, self.cfg.ionic
@@ -189,26 +233,21 @@ class MonodomainSolver:
         u_star = 2.0 * uq_n - uq_nm1 if bdf2 else uq_n  # BDF2 extrapolation
 
         # gating update (pointwise at quadrature points,
-        # reference update_w_and_ion)
-        # gating rates evaluated at the (extrapolated for BDF2) potential;
-        # forward step on w (the reference's update, with rates at u*)
-        a, b, winf = ionic_rates(u_star, p)
+        # reference update_w_and_ion), state [3, C, q, P]
+        a, b, winf = ionic_rates_t(u_star, p)
         w_np1 = w + dt * ((b - a) * w + a * winf)
 
-        i_ion = ionic_current(u_star, w_np1, p)
+        i_ion = ionic_current_t(u_star, w_np1, p)
 
         stim = jnp.where(jnp.asarray(t) < cfg.end_time_current,
                          cfg.applied_current, 0.0)
-        i_app = stim * self.stim_mask
+        i_app = stim * self.stim_t
 
         u_hist = (2.0 * uq_n - 0.5 * uq_nm1) if bdf2 else uq_n
         integrand = (p.chi * p.Cm / dt) * u_hist - p.chi * i_ion + i_app
-        r_cell = jnp.einsum("cqi,cq,cq->ci", self.B, self.w_q, integrand)
-        reducer = getattr(self, "_reducer", None)
-        if reducer is None:
-            reducer = PolyReducer(ah.n_poly)
-            object.__setattr__(self, "_reducer", reducer)
-        rhs = reducer(r_cell, ah.cell2poly).reshape(-1)
+        # rhs directly in the transposed layout: no scatters, no gathers
+        r_t = jnp.einsum("cqip,cqp,cqp->ip", self.B_t, self.w_t, integrand)
+        rhs = r_t.T.reshape(-1)
 
         if self.mg is not None:
             res = self.mg.solve_cg(rhs, rtol=cfg.solver.rtol,
@@ -220,6 +259,26 @@ class MonodomainSolver:
                            rtol=cfg.solver.rtol,
                            maxiter=cfg.solver.max_iterations)
         return res.x, w_np1, res.iterations
+
+    def steps_scan(self, u, u_prev, w, t0, n_steps: int):
+        """n_steps IMEX steps as ONE lax.scan program (the throughput
+        path: no host round trips inside the loop — the reference's time
+        loop pays per-step MPI + output instead,
+        monodomain_DG3D.cc:2206-2330).  Returns (u, u_prev, w, iters)."""
+        import jax
+        import jax.numpy as jnp
+
+        dt = self.cfg.dt
+
+        def body(carry, k):
+            u, u_prev, w = carry
+            t = t0 + k * dt
+            u_new, w_new, it = self.step(u, u_prev, w, t, False)
+            return (u_new, u, w_new), it
+
+        (u, u_prev, w), iters = jax.lax.scan(
+            body, (u, u_prev, w), jnp.arange(n_steps))
+        return u, u_prev, w, iters
 
     def run(self, n_steps=None, callback=None, checkpoint_dir=None,
             checkpoint_every=0, resume=False):
@@ -261,6 +320,31 @@ class MonodomainSolver:
                     u=np.asarray(u), u_prev=np.asarray(u_prev),
                     w=np.asarray(w)))
         return u, w, iters
+
+
+def ionic_rates_t(u, p: BuenoOrovioParams):
+    """ionic_rates with the gating axis FIRST ([3, ...] — lane-aligned
+    when u is [..., P]; no transposed intermediates)."""
+    import jax.numpy as jnp
+
+    a0 = (1.0 - _hs(u, p.V1)) / (
+        _hs(u, p.V1m) * (p.tau1pp - p.tau1p) + p.tau1p)
+    a1 = (1.0 - _hs(u, p.V2)) / (
+        _h(u, p.V2m, p.k2) * (p.tau2pp - p.tau2p) + p.tau2p)
+    a2 = 1.0 / (_hs(u, p.V2) * (p.tau3pp - p.tau3p) + p.tau3p)
+    b0 = -_hs(u, p.V1) / p.tau1plus
+    b1 = -_hs(u, p.V2) / p.tau2plus
+    b2 = jnp.zeros_like(u)
+    wi0 = 1.0 - _hs(u, p.V1m)
+    wi1 = _hs(u, p.Vo) * (p.w_star_inf - 1.0 + u / p.tau2inf) + 1.0 - u / p.tau2inf
+    wi2 = _h(u, p.V3, p.k3)
+    return (jnp.stack([a0, a1, a2], axis=0), jnp.stack([b0, b1, b2], axis=0),
+            jnp.stack([wi0, wi1, wi2], axis=0))
+
+
+def ionic_current_t(u, w_first, p: BuenoOrovioParams):
+    """ionic_current with gating state [3, ...] (axis first)."""
+    return ionic_current_parts(u, w_first[0], w_first[1], w_first[2], p)
 
 
 def run_monodomain(cfg: MonodomainConfig | None = None, verbose=True, **kw):

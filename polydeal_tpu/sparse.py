@@ -424,6 +424,23 @@ class BlockBanded:
             return jnp.zeros((nb, self.data.shape[-1]), dtype=self.data.dtype)
         return jnp.stack([self.data[k0, i, i, :] for i in range(nb)], axis=0)
 
+    def diag_blocks(self) -> jnp.ndarray:
+        """[P, nb, nb] diagonal blocks (block-Jacobi input)."""
+        k0 = int(np.searchsorted(self.offsets, 0))
+        nb, P = self.data.shape[1], self.n_block_rows
+        if k0 >= self.offsets.shape[0] or self.offsets[k0] != 0:
+            return jnp.zeros((P, nb, nb), dtype=self.data.dtype)
+        return jnp.moveaxis(self.data[k0], -1, 0)
+
+    def add_to_diagonal_band(self, blocks_t: jnp.ndarray) -> "BlockBanded":
+        """New BlockBanded with ``blocks_t`` [nb, nb, P] added to the
+        offset-0 band row (e.g. a scaled mass matrix)."""
+        k0 = int(np.searchsorted(self.offsets, 0))
+        assert self.offsets[k0] == 0, "band has no diagonal row"
+        data = self.data.at[k0].add(blocks_t.astype(self.data.dtype))
+        # any i-major copy is stale after the update — drop it
+        return BlockBanded(data, self.offsets, self.n_block_cols, None)
+
     def diagonal(self) -> jnp.ndarray:
         k0 = int(np.searchsorted(self.offsets, 0))
         if k0 >= self.offsets.shape[0] or self.offsets[k0] != 0:
