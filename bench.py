@@ -1,36 +1,46 @@
-"""TPU benchmark: 3D SIPG Poisson, assemble + MG-CG solve — DoF/s.
+"""TPU benchmark: 3D SIPG Poisson (R-tree flagship + structured) and the
+monodomain time loop — one JSON line.
 
-North-star configuration (BASELINE.md): 3D SIPG Poisson on an
-agglomerated hex grid (R-tree agglomerates of 8 cells), assembled and
-solved with R3MG-preconditioned CG.  Metric: DoF/s over assembly+solve.
+Primary metric (BASELINE.md north star): DoF/s for 3D SIPG Poisson on an
+agglomerated hex grid, assembled and solved to 1e-8 with
+R3MG-preconditioned CG, on the GENERAL R-TREE hierarchy — the
+reference's flagship configuration (R3MG, examples/agglo_amg.cc).  The
+structured (lexicographic) geometric-MG variant and the monodomain
+DoF*steps/s throughput are recorded alongside in ``detail`` every run.
 
-vs_baseline is measured against the performance gate of 10× single-node
-deal.II throughput: deal.II matrix-based 3D SIPG assembly + AMG-CG on a
-single node runs at ~2e5 DoF/s (order-of-magnitude from the reference's
-own instrumentation style runs), so the gate is 2e6 DoF/s and
+vs_baseline is measured against the performance gate of 10x single-node
+deal.II throughput: deal.II matrix-based 3D SIPG assembly + AMG-CG runs
+at ~2e5 DoF/s per node, so the gate is 2e6 DoF/s and
 vs_baseline = dof_per_s / 2e6.
 
-Prints exactly one JSON line.
+Timing methodology: one fused jitted program per case (assembly + solve,
+or N scanned time steps); per-call host read of the result (the tunneled
+remote execution can outlive block_until_ready); best of 3 with unique
+inputs so no layer can dedupe executions.
 """
 
+import gc
 import json
 import os
 import sys
 import time
 
 
-def main():
-    n = int(os.environ.get("BENCH_N", "64"))  # fine cells per direction
-    degree = int(os.environ.get("BENCH_DEGREE", "1"))
-    rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
-    cheb_deg = int(os.environ.get("BENCH_CHEB_DEG", "5"))
-    n_smooth = int(os.environ.get("BENCH_NSMOOTH", "1"))
-    precond = os.environ.get("BENCH_PRECOND_DTYPE", "bfloat16")
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
-    import jax
+
+def _read(x):
     import jax.numpy as jnp
 
-    dtype = jnp.float32
+    return float(jnp.sum(x))
+
+
+def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
+                  cheb_deg: int, n_smooth: int, precond: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     import polydeal_tpu as pd
     from polydeal_tpu.assembly.sipg import (
@@ -38,13 +48,16 @@ def main():
         assemble_sipg_banded_direct,
         build_banded_groups,
     )
-    from polydeal_tpu.solvers import build_multigrid, build_structured_hierarchy
+    from polydeal_tpu.solvers import (
+        build_multigrid,
+        build_structured_hierarchy,
+    )
 
-    hierarchy = os.environ.get("BENCH_HIERARCHY", "structured")
+    dtype = jnp.float32
     mesh = pd.hyper_cube(3, n)
     if hierarchy == "rtree":
-        # the general R3MG path: STR R-tree hierarchy over cell centers
-        # (SFC-rank ordering -> ~37 band offsets vs 7 structured)
+        # the general R3MG path: STR R-tree hierarchy, SFC-rank ordering
+        # (37 band offsets) -> per-lane PACKED format (K = 7 slots)
         from polydeal_tpu.agglomeration import RTreeAgglomerator
         from polydeal_tpu.solvers import build_rtree_hierarchy
 
@@ -64,39 +77,49 @@ def main():
 
     # setup: fine matrix assembled DIRECTLY in banded layout (the COO
     # path's [f, nb, nb] intermediates tile-pad 32x and OOM at 10^7 DoF)
-    import numpy as np
-
     ft = ah.faces
     interior = ~ft.is_boundary
     diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
     band_offsets = np.unique(np.concatenate(
         [diffs, -diffs, np.zeros(1, dtype=np.int64)]))
-    # slot-padded assembly tables: faces grouped by (offset, poly) so the
-    # band reduction is pure einsum/sum/roll — TPU has no fast scatter OR
-    # gather (both measured at <1% of HBM bandwidth at this size)
     groups = build_banded_groups(ah, band_offsets, dtype)
     A0 = jax.jit(lambda t: assemble_sipg_banded_direct(
         ah, t, offsets=band_offsets))(groups)
-    import jax.numpy as _jnp
-
-    pdt = None if precond in ("", "none") else getattr(_jnp, precond)
+    pdt = None if precond in ("", "none") else getattr(jnp, precond)
     mg = build_multigrid(handlers, parents, A0, dtype=dtype,
                          grid_shapes=grid_shapes,
                          chebyshev_degree=cheb_deg, n_smooth=n_smooth,
                          precond_dtype=pdt, level_assembly="banded")
 
-    # ONE jitted program: assembly (directly in the banded layout) + MG-CG
-    # solve.  mg and the tables enter as pytree ARGUMENTS (closure capture
-    # would inline them as constants and overflow the remote compiler); a
-    # fused program also lets XLA choose consistent layouts across the
-    # assembly/solve boundary.
-    # the setup-time fine-level f32 band (and its i-major copy) is dead
-    # in the fused program — it is replaced by the fresh assembly — but
-    # would still occupy HBM as an input; strip it to a zero-length view
-    from polydeal_tpu.sparse import BlockBanded as _BB
+    packed = hierarchy == "rtree"
+    if packed:
+        from polydeal_tpu.ops.packed import build_pack_plan
+        from polydeal_tpu.sparse import BlockPacked
 
-    _e = mg.ells[-1]
-    mg.ells[-1] = _BB(_e.data[:, :, :, :0], _e.offsets, _e.n_block_cols)
+        assert isinstance(mg.ells[-1], BlockPacked), "packed path engaged"
+        plan, oid, _, _ = build_pack_plan(
+            ft.poly_in[interior], ft.poly_out[interior],
+            ah.n_poly, ah.n_basis, offsets=band_offsets, near_limit=-1)
+        oid_dev = jax.numpy.asarray(oid)
+
+    # ONE jitted program: assembly (directly in the banded layout, then
+    # packed for the wide-offset case) + MG-CG solve.  mg and the tables
+    # enter as pytree ARGUMENTS (closure capture would inline them as
+    # constants and overflow the remote compiler).
+    # the setup-time fine-level copies are dead in the fused program —
+    # strip them to zero-length views so they don't occupy HBM as inputs
+    from polydeal_tpu.sparse import BlockBanded as _BB
+    from polydeal_tpu.sparse import BlockPacked as _BP
+
+    def _strip(e):
+        if isinstance(e, _BP):
+            return _BP(e.data_i[:, :0], e.oid, e.plan, e.far_data,
+                       e.far_rows, e.far_cols)
+        if isinstance(e, _BB):
+            return _BB(e.data[:, :, :, :0], e.offsets, e.n_block_cols)
+        return e
+
+    mg.ells[-1] = _strip(mg.ells[-1])
 
     @jax.jit
     def assemble_and_solve(tabs, m, scale):
@@ -105,49 +128,124 @@ def main():
         # dedupe identical (executable, inputs) executions; it multiplies
         # the rhs, leaving iteration counts untouched
         b = assemble_rhs_direct(ah, tabs, f, u_ex) * scale
-        # Pallas layout; the o-major copy is dropped after the transpose
-        # (the direct-imajor emission exists but its concat layout halves
-        # the SpMV rate — the transient o-major here is the fast path)
-        m.ells[-1] = A_band.with_imajor(drop_omajor=True)
+        if packed:
+            m.ells[-1] = A_band.to_packed(plan, oid_dev)
+        else:
+            m.ells[-1] = A_band.with_imajor(drop_omajor=True)
         return m.solve_cg(b, rtol=rtol, maxiter=100)
 
-    import jax.numpy as jnp2
-
-    res = assemble_and_solve(groups, mg, jnp2.float32(1.0))
-    float(jnp.sum(res.x))  # host read: guarantees remote completion
+    _log(f"bench[{hierarchy}]: setup built, compiling fused program...")
+    res = assemble_and_solve(groups, mg, jnp.float32(1.0))
+    _read(res.x)  # host read: guarantees remote completion
+    _log(f"bench[{hierarchy}]: warm, timing...")
     times = []
     for k in range(3):
         t0 = time.perf_counter()
-        res = assemble_and_solve(groups, mg, jnp2.float32(1.0 + 1e-6 * (k + 1)))
-        # block_until_ready alone can return before the tunneled remote
-        # execution finishes; a host read of the result cannot
-        float(jnp.sum(res.x))
+        res = assemble_and_solve(groups, mg,
+                                 jnp.float32(1.0 + 1e-6 * (k + 1)))
+        _read(res.x)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
-    t_asm = t_cvt = 0.0
-    t_slv = elapsed
+    out = dict(
+        dof_per_s=round(ah.n_dofs / elapsed, 1),
+        n_dofs=ah.n_dofs,
+        band_offsets=int(band_offsets.shape[0]),
+        iterations=int(res.iterations),
+        residual=float(res.residual),
+        elapsed_s=round(elapsed, 4),
+    )
+    del mg, groups, A0, res
+    gc.collect()
+    return out
 
-    dof_per_s = ah.n_dofs / elapsed
+
+def bench_monodomain(n_ref: int, degree: int, n_steps: int, dt: float):
+    """DoF*steps/s of the scanned IMEX monodomain loop at ~1M DoF 3D
+    (reference flagship app, monodomain_DG3D.cc:2206-2330)."""
+    import jax
+    import jax.numpy as jnp
+
+    from polydeal_tpu.config import MonodomainConfig
+    from polydeal_tpu.models.monodomain import MonodomainSolver
+
+    cfg = MonodomainConfig(
+        dim=3, n_refinements=n_ref, degree=degree,
+        time_stepping_scheme="BDF2", dt=dt,
+        final_time=n_steps * dt, end_time_current=2 * dt,
+        applied_current=300.0, stimulus_radius=0.2)
+    cfg.solver.rtol = 1e-8
+    solver = MonodomainSolver.build(cfg)
+    u, w = solver.initial_state()
+    step1 = jax.jit(lambda a, b, c: solver.step(a, b, c, 0.0, True))
+    u1, w1, _ = step1(u, u, w)
+    scan = jax.jit(
+        lambda u_, up_, w_, t0: solver.steps_scan(u_, up_, w_, t0, n_steps))
+    uf, up, wf, iters = scan(u1, u, w1, dt)
+    _read(uf)
+    times = []
+    for k in range(3):
+        t0w = time.perf_counter()
+        uf, up, wf, iters = scan(u1, u, w1, dt * (1.0 + 1e-9 * k))
+        _read(uf)
+        times.append(time.perf_counter() - t0w)
+    elapsed = min(times)
+    n_dofs = solver.handler.n_dofs
+    import numpy as np
+
+    out = dict(
+        dof_steps_per_s=round(n_dofs * n_steps / elapsed, 1),
+        steps_per_s=round(n_steps / elapsed, 2),
+        n_dofs=n_dofs,
+        n_steps=n_steps,
+        cg_iters_per_step=float(np.asarray(iters).mean()),
+        elapsed_s=round(elapsed, 4),
+    )
+    del solver, u, w, uf, up, wf
+    gc.collect()
+    return out
+
+
+def main():
+    n = int(os.environ.get("BENCH_N", "64"))  # fine cells per direction
+    degree = int(os.environ.get("BENCH_DEGREE", "1"))
+    rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
+    cheb_deg = int(os.environ.get("BENCH_CHEB_DEG", "5"))
+    n_smooth = int(os.environ.get("BENCH_NSMOOTH", "1"))
+    precond = os.environ.get("BENCH_PRECOND_DTYPE", "bfloat16")
+
+    import jax
+
+    detail = {
+        "n_cells": n**3,
+        "degree": degree,
+        "rtol": rtol,
+        "device": str(jax.devices()[0]),
+    }
+    _log("bench: rtree poisson...")
+    rtree = bench_poisson("rtree", n, degree, rtol, cheb_deg, n_smooth,
+                          precond)
+    _log(f"bench: rtree done {rtree}")
+    detail["rtree"] = rtree
+    if os.environ.get("BENCH_SKIP_STRUCTURED", "") != "1":
+        _log("bench: structured poisson...")
+        detail["structured"] = bench_poisson(
+            "structured", n, degree, rtol, cheb_deg, n_smooth, precond)
+        _log(f"bench: structured done {detail['structured']}")
+    if os.environ.get("BENCH_SKIP_MONODOMAIN", "") != "1":
+        import math
+
+        n_ref = int(math.log2(n))
+        _log("bench: monodomain...")
+        detail["monodomain"] = bench_monodomain(
+            n_ref=n_ref, degree=degree, n_steps=20, dt=5e-5)
+        _log(f"bench: monodomain done {detail['monodomain']}")
+
     out = {
-        "metric": "sipg3d_assemble_solve_dof_per_s",
-        "value": round(dof_per_s, 1),
+        "metric": "sipg3d_rtree_assemble_solve_dof_per_s",
+        "value": rtree["dof_per_s"],
         "unit": "DoF/s",
-        "vs_baseline": round(dof_per_s / 2e6, 3),
-        "detail": {
-            "n_cells": mesh.n_cells,
-            "n_dofs": ah.n_dofs,
-            "degree": degree,
-            "hierarchy": hierarchy,
-            "band_offsets": int(band_offsets.shape[0]),
-            "iterations": int(res.iterations),
-            "residual": float(res.residual),
-            "rtol": rtol,
-            "elapsed_s": round(elapsed, 4),
-            "t_assembly_s": round(t_asm, 4),
-            "t_relayout_s": round(t_cvt, 4),
-            "t_solve_s": round(t_slv, 4),
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(rtree["dof_per_s"] / 2e6, 3),
+        "detail": detail,
     }
     print(json.dumps(out))
 

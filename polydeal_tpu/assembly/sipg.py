@@ -400,8 +400,33 @@ def assemble_sipg_banded_t(
     return BlockBanded(data=data, offsets=offsets, n_block_cols=P)
 
 
+def _lane_put(device_mesh, dtype):
+    """Materializer for entity-last (lane-major) setup tables.
+
+    With ``device_mesh`` (a jax.sharding.Mesh), every table is placed
+    directly with a lane-sharded NamedSharding — no replica ever holds a
+    global table, so aggregate setup HBM scales with the device count
+    (the analogue of the reference's rank-local setup,
+    source/agglomeration_handler.cc:85-87).  Without it, plain
+    jnp.asarray on the default device."""
+    if device_mesh is None:
+        return lambda a: jnp.asarray(a, dtype=dtype)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axis = device_mesh.axis_names[0]
+
+    def put(a):
+        a = np.asarray(a)
+        spec = PartitionSpec(*([None] * (a.ndim - 1)), axis)
+        return jax.device_put(a.astype(dtype),
+                              NamedSharding(device_mesh, spec))
+
+    return put
+
+
 def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
-                        dtype=jnp.float64, basis=None, dirichlet_ids=None):
+                        dtype=jnp.float64, basis=None, dirichlet_ids=None,
+                        device_mesh=None):
     """Slot-padded tables: the scatter-AND-gather-free banded assembly
     inputs.
 
@@ -429,6 +454,7 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
     P = ah.n_poly
     ft = ah.faces
     offsets = np.asarray(offsets, dtype=np.int64)
+    put = _lane_put(device_mesh, dtype)
 
     def face_group(rows: np.ndarray, by: np.ndarray, both: bool):
         """Padded entity-last tables of the face rows, grouped by `by`."""
@@ -450,13 +476,13 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
             (1, 2, 3, 0))
         hf = np.where(mask, ft.h_f[safe], 1.0)  # [P, C]
         g = dict(
-            w=jnp.asarray(np.transpose(w, (1, 2, 0)), dtype=dtype),
-            n=jnp.asarray(nrm, dtype=dtype),
-            h_f=jnp.asarray(hf.T, dtype=dtype),  # [C, P]
-            pts_in=jnp.asarray(pad_pts(ft.points_in), dtype=dtype),
+            w=put(np.transpose(w, (1, 2, 0))),
+            n=put(nrm),
+            h_f=put(hf.T),  # [C, P]
+            pts_in=put(pad_pts(ft.points_in)),
         )
         if both:
-            g["pts_out"] = jnp.asarray(pad_pts(ft.points_out), dtype=dtype)
+            g["pts_out"] = put(pad_pts(ft.points_out))
         return g
 
     interior = ~ft.is_boundary
@@ -482,11 +508,11 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
     wv = ah.cell_qweights[safe.reshape(-1)].reshape(P, Cc, -1)
     wv = np.where(maskc[:, :, None], wv, 0.0)
     vol = dict(
-        pts=jnp.asarray(np.transpose(upts, (1, 2, 3, 0)), dtype=dtype),
-        w=jnp.asarray(np.transpose(wv, (1, 2, 0)), dtype=dtype),
+        pts=put(np.transpose(upts, (1, 2, 3, 0))),
+        w=put(np.transpose(wv, (1, 2, 0))),
     )
-    ext_t = jnp.asarray(ah.extents.T, dtype=dtype)  # [dim, P]
-    lo_t = jnp.asarray(ah.bbox_lo.T, dtype=dtype)  # [dim, P]
+    ext_t = put(ah.extents.T)  # [dim, P]
+    lo_t = put(ah.bbox_lo.T)  # [dim, P]
     return dict(groups=groups, bdry=bdry, vol=vol, ext_t=ext_t, lo_t=lo_t)
 
 

@@ -87,15 +87,21 @@ def choose_near_limit(P: int, nb: int, K_bound: int = 8,
 def build_pack_plan(src: np.ndarray, dst: np.ndarray, P: int, nb: int,
                     offsets: np.ndarray | None = None,
                     near_limit: int | None = None):
-    """Color the near offsets of the directed block sparsity into
-    conflict-free slots; split off the far tail as block-COO.
+    """Color the offsets of the directed block sparsity into
+    conflict-free slots, optionally splitting off a far block-COO tail.
 
     src/dst: block row/col ids of the off-diagonal nonzero blocks (one
     direction suffices — the transpose direction and the diagonal are
     added here).
 
+    ``near_limit``: -1 colors ALL offsets into slots (far offsets are
+    then served in-kernel from pre-rolled x copies — the single-chip
+    fast path); a positive value splits |o| > near_limit into the
+    block-COO tail (required on shards, where global rolls are invalid);
+    None picks the kernel's default tile.
+
     Returns (plan, oid, far_rows, far_cols):
-      plan      static PackPlan over the NEAR offsets,
+      plan      static PackPlan over the colored offsets,
       oid       [K, P] int32 (-1 = inactive slot at that lane),
       far_rows/far_cols [n_far] int64, sorted by (offset, row) — the
                 order to_packed extracts far blocks in.
@@ -110,7 +116,10 @@ def build_pack_plan(src: np.ndarray, dst: np.ndarray, P: int, nb: int,
 
     if near_limit is None:
         near_limit = choose_near_limit(P, nb)
-    far = np.abs(offs) > near_limit
+    if near_limit < 0:
+        far = np.zeros(offs.shape[0], dtype=bool)
+    else:
+        far = np.abs(offs) > near_limit
     forder = np.lexsort((rows[far], offs[far]))
     far_rows = rows[far][forder]
     far_cols = far_rows + offs[far][forder]
@@ -118,7 +127,8 @@ def build_pack_plan(src: np.ndarray, dst: np.ndarray, P: int, nb: int,
 
     all_offsets = (np.unique(offs) if offsets is None
                    else np.asarray(offsets, dtype=np.int64))
-    all_offsets = all_offsets[np.abs(all_offsets) <= near_limit]
+    if near_limit >= 0:
+        all_offsets = all_offsets[np.abs(all_offsets) <= near_limit]
     oidx = np.searchsorted(all_offsets, offs)
     assert (all_offsets[oidx] == offs).all(), "offsets must cover sparsity"
     n_o = all_offsets.shape[0]
@@ -172,12 +182,12 @@ def packed_supported(P: int, nb: int, K: int, itemsize: int) -> bool:
     __import__("jax").jit,
     static_argnames=("plan", "interpret"),
 )
-def _packed_matvec_impl(data_i, oid, xpad, plan: PackPlan, interpret):
-    """Near-offset kernel: all |offsets| <= T, so every shifted window
-    comes from the prev/cur/next aligned tiles of the T-padded x — the
-    same static streaming structure as ops/banded.py (fast Mosaic
-    compile; the resident-x modular-indexing variant compiled 100x
-    slower)."""
+def _packed_matvec_impl(data_i, oid, xpad, xfar, plan: PackPlan, interpret):
+    """Packed kernel: near offsets (|o| <= T) come from the prev/cur/next
+    aligned tiles of the T-padded x (the static streaming structure of
+    ops/banded.py — the resident-x modular-indexing variant compiled and
+    ran 100x slower); far offsets come from pre-rolled copies in ``xfar``
+    [n_far, nb, P], streamed one tile at a time."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -188,13 +198,17 @@ def _packed_matvec_impl(data_i, oid, xpad, plan: PackPlan, interpret):
     P = data_i.shape[-1]
     T = pick_tile_packed(P, nb * R_pad, data_i.dtype.itemsize)
     assert T is not None
-    assert all(abs(o) <= T for o in plan.offsets), "far offset in near plan"
+    far = [o for o in plan.offsets if abs(o) > T]
+    far_idx = {o: k for k, o in enumerate(far)}
     acc_t = xpad.dtype  # f32 on TPU; f64 parity in interpret/CPU mode
 
-    def kernel(prev_ref, cur_ref, next_ref, oid_ref, d_ref, out_ref):
+    def kernel(prev_ref, cur_ref, next_ref, far_ref, oid_ref, d_ref,
+               out_ref):
         tiles = [prev_ref, cur_ref, next_ref]
 
         def window(off):
+            if off in far_idx:
+                return far_ref[far_idx[off]]
             q, r = divmod(off, T)  # q in {-1, 0, 1}
             a = tiles[q + 1][:, :]
             if r == 0:
@@ -236,24 +250,28 @@ def _packed_matvec_impl(data_i, oid, xpad, plan: PackPlan, interpret):
         grid=(P // T,),
         in_specs=[
             xspec(0), xspec(1), xspec(2),  # prev/cur/next tiles of xpad
+            pl.BlockSpec((max(len(far), 1), nb, T), lambda t: (0, 0, t),
+                         memory_space=vm),
             pl.BlockSpec((K, T), lambda t: (0, t), memory_space=vm),
             pl.BlockSpec((nb * R_pad, T), lambda t: (0, t),
                          memory_space=vm),
         ],
         out_specs=pl.BlockSpec((nb, T), lambda t: (0, t), memory_space=vm),
         interpret=interpret,
-    )(xpad, xpad, xpad, oid, data_i)
+    )(xpad, xpad, xpad, xfar, oid, data_i)
 
 
 def packed_matvec_t(data_i, oid, plan: PackPlan, xt, *,
                     interpret: bool = False):
-    """Near-part SpMV: y[i, p] = sum_{k,j} data_i[(i,k,j), p] *
+    """Packed SpMV: y[i, p] = sum_{k,j} data_i[(i,k,j), p] *
     x[j, p + offsets[oid[k,p]]] (inactive slots contribute zero).
     xt [nb, P] any float dtype; accumulation is f32 for f32/bf16 inputs,
     f64 for f64 (interpret/CPU parity — TPU Pallas has no f64).
 
-    The caller (sparse.BlockPacked.matvec_t) adds the far block-COO
-    term."""
+    Plans colored with near_limit=-1 may hold far offsets (|o| > tile):
+    their windows are pre-rolled x copies (global rolls — single-chip
+    only; the sharded path repacks with an explicit near/far split and
+    adds the far block-COO term in sparse.BlockPacked.matvec_t)."""
     import jax.numpy as jnp
 
     nb = plan.nb
@@ -262,7 +280,12 @@ def packed_matvec_t(data_i, oid, plan: PackPlan, xt, *,
     assert T is not None, "no valid lane tile for this P"
     xin = xt if xt.dtype == jnp.float64 else xt.astype(jnp.float32)
     xpad = jnp.pad(xin, ((0, 0), (T, T)))
-    y = _packed_matvec_impl(data_i, oid, xpad, plan, interpret)
+    far = [o for o in plan.offsets if abs(o) > T]
+    if far:
+        xfar = jnp.stack([jnp.roll(xin, -o, axis=1) for o in far], axis=0)
+    else:
+        xfar = jnp.zeros((1,) + xin.shape, dtype=xin.dtype)
+    y = _packed_matvec_impl(data_i, oid, xpad, xfar, plan, interpret)
     return y.astype(xt.dtype)
 
 
@@ -288,6 +311,9 @@ def packed_matvec_t_halo(data_i, oid, plan: PackPlan, x_ext, *,
     T = pick_tile_packed(P, nb * plan.R_pad, data_i.dtype.itemsize)
     assert T is not None, "no valid lane tile for this per-shard P"
     assert x_ext.shape[-1] == P + 2 * T, "halo width must equal the tile"
+    assert all(abs(o) <= T for o in plan.offsets), \
+        "far offset in a sharded plan (repack with an explicit split)"
     xin = x_ext if x_ext.dtype == jnp.float64 else x_ext.astype(jnp.float32)
-    y = _packed_matvec_impl(data_i, oid, xin, plan, interpret)
+    xfar = jnp.zeros((1,) + xin[:, :P].shape, dtype=xin.dtype)
+    y = _packed_matvec_impl(data_i, oid, xin, xfar, plan, interpret)
     return y.astype(x_ext.dtype)

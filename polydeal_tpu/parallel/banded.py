@@ -73,8 +73,43 @@ class _SLevel:
     grid_shape_loc: tuple | None = None
 
 
+def _halo_bound(ell: "BlockPacked", per: int, on_tpu: bool) -> int | None:
+    """Widest halo a shard of ``per`` lanes can provide for this pack."""
+    from polydeal_tpu.ops.packed import packed_tile
+
+    if on_tpu and per % 128 == 0:
+        T = packed_tile(per, ell.plan.nb, ell.plan.K,
+                        ell.data_i.dtype.itemsize)
+        if T is not None:
+            return min(T, per)
+    return per
+
+
+def _shard_ready(ell, per: int, on_tpu: bool):
+    """Repack a BlockPacked whose plan holds offsets beyond the shard
+    halo: full-coloring packs serve far offsets from GLOBAL pre-rolled x
+    copies, which are invalid on a slab — rebuild with an explicit
+    near/far split (far tail -> block-COO halo exchange)."""
+    if not isinstance(ell, BlockPacked):
+        return ell
+    bound = _halo_bound(ell, per, on_tpu)
+    if max(abs(o) for o in ell.plan.offsets) <= bound:
+        return ell
+    from polydeal_tpu.ops.packed import build_pack_plan
+
+    assert ell.far_data is None, (
+        "cannot repack a pack that already has an explicit far tail")
+    band = jax.jit(lambda e: e.to_banded())(ell)
+    src, dst = ell.sparsity_pairs()
+    plan2, oid2, frows, fcols = build_pack_plan(
+        src, dst, band.n_block_rows, ell.plan.nb, near_limit=bound)
+    return jax.jit(lambda b, o: b.to_packed(plan2, o, frows, fcols))(
+        band, jnp.asarray(oid2))
+
+
 def _tile_for(ell, per: int, on_tpu: bool):
-    """(T, use_kernel): halo width and whether the Pallas kernel runs."""
+    """(T, use_kernel): halo width and whether the Pallas kernel runs.
+    For BlockPacked the plan must already fit the shard (_shard_ready)."""
     if isinstance(ell, BlockPacked):
         from polydeal_tpu.ops.packed import packed_tile
 
@@ -133,7 +168,9 @@ class ShardedBandedSystem:
             min_sharded_lanes = 4 * n_dev
         n_lv = mg.n_levels
 
-        # decide the sharded prefix (finest downward)
+        # decide the sharded prefix (finest downward); packed levels with
+        # far-in-slot plans are repacked for the shard halo on the fly
+        repacked = {}
         sharded = []  # level indices (in mg numbering), finest first
         for l in range(n_lv - 1, 0, -1):
             ell = mg.ells[l]
@@ -143,6 +180,8 @@ class ShardedBandedSystem:
             if P_l % n_dev != 0 or P_l < min_sharded_lanes:
                 break
             per = P_l // n_dev
+            ell = _shard_ready(ell, per, on_tpu)
+            repacked[l] = ell
             T, _ = _tile_for(ell, per, on_tpu)
             if T is None:
                 break
@@ -166,7 +205,7 @@ class ShardedBandedSystem:
 
         levels, params = [], []
         for l in sharded:
-            ell = mg.ells[l]
+            ell = repacked.get(l, mg.ells[l])
             P_l = ell.n_block_rows
             per = P_l // n_dev
             T, use_kernel = _tile_for(ell, per, on_tpu)

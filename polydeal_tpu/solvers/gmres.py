@@ -70,7 +70,7 @@ def gmres_solve(
         V = V.at[0].set(r / jnp.where(beta > 0, beta, 1.0))
 
         def arnoldi(j, carry):
-            V, Z, H, cs, sn, g = carry
+            V, Z, H, cs, sn, g, done_at = carry
             z = M(V[j])
             w = A(z)
             # classical Gram-Schmidt with one reorthogonalization pass
@@ -104,10 +104,16 @@ def gmres_solve(
             g = g.at[j].set(ci * gj)
             g = g.at[j + 1].set(-si * gj)
             H = H.at[:, j].set(col[: m + 1])
-            return V, Z, H, cs, sn, g
+            # first inner iteration at which the residual |g[j+1]| meets
+            # the tolerance — the honest iteration count (the loop still
+            # runs the full cycle; results are unchanged)
+            done_at = jnp.minimum(
+                done_at, jnp.where(jnp.abs(g[j + 1]) <= tol, j + 1, m))
+            return V, Z, H, cs, sn, g, done_at
 
-        V, Z, H, cs, sn, g = jax.lax.fori_loop(
-            0, m, arnoldi, (V, Z, H, cs, sn, g))
+        V, Z, H, cs, sn, g, done_at = jax.lax.fori_loop(
+            0, m, arnoldi,
+            (V, Z, H, cs, sn, g, jnp.asarray(m, jnp.int32)))
         # back-substitution on the m x m upper-triangular H (columns past
         # convergence have ~0 diagonals and contribute ~0 — guarded)
         def back(i_rev, y):
@@ -120,7 +126,7 @@ def gmres_solve(
         y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype=dtype))
         x = x + y @ Z
         res = jnp.abs(g[m])
-        return x, total_it + m, res
+        return x, total_it + done_at, res
 
     def cond(state):
         _, total_it, res = state

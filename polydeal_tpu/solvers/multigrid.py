@@ -639,7 +639,7 @@ class Multigrid:
 
 
 def maybe_pack_level(h, A, pack: bool | None = None, min_P: int = 4096,
-                     near_limit: int | None = None):
+                     near_limit: int | None = None, device_mesh=None):
     """Convert a wide-offset BlockBanded level to the per-lane packed
     format (sparse.BlockPacked / ops/packed.py) when profitable.
 
@@ -661,15 +661,26 @@ def maybe_pack_level(h, A, pack: bool | None = None, min_P: int = 4096,
         return A
     ft = h.faces
     interior = ~ft.is_boundary
+    # default: FULL coloring (near_limit=-1) — far offsets are served
+    # in-kernel from pre-rolled x copies on a single chip; the sharded
+    # builder repacks with an explicit split when needed
     plan, oid, frows, fcols = build_pack_plan(
         ft.poly_in[interior], ft.poly_out[interior], P, nb,
-        offsets=A.offsets, near_limit=near_limit)
+        offsets=A.offsets,
+        near_limit=-1 if near_limit is None else near_limit)
     n_off = A.offsets.shape[0]
     if pack is None and plan.K + 2 >= n_off:
         return A  # narrow band: the roll/i-major kernel is already tight
     if not packed_supported(P, nb, plan.K, A.data.dtype.itemsize):
         return A
-    oid_dev = jnp.asarray(oid)
+    if device_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        oid_dev = jax.device_put(
+            oid, NamedSharding(device_mesh,
+                               _P(None, device_mesh.axis_names[0])))
+    else:
+        oid_dev = jnp.asarray(oid)
     return jax.jit(lambda a, o: a.to_packed(plan, o, frows, fcols))(
         A, oid_dev)
 
@@ -689,6 +700,7 @@ def build_multigrid(
     level_assembly: str = "tables",
     pack: bool | None = None,
     pack_near_limit: int | None = None,
+    device_mesh=None,
 ) -> Multigrid:
     """Assemble the full MG preconditioner from a handler chain and the
     finest-level matrix.
@@ -737,14 +749,20 @@ def build_multigrid(
             diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
             offs = np.unique(np.concatenate(
                 [diffs, -diffs, np.zeros(1, dtype=np.int64)]))
-            groups = build_banded_groups(h, offs, dtype)
+            # shard-local setup: tables (and hence the assembled band)
+            # are placed lane-sharded when a device mesh is given and
+            # the level divides evenly
+            dm = (device_mesh if device_mesh is not None
+                  and h.n_poly % device_mesh.devices.size == 0 else None)
+            groups = build_banded_groups(h, offs, dtype, device_mesh=dm)
             A_l = jax.jit(
                 lambda t, h=h, offs=offs: assemble_sipg_banded_direct(
-                    h, t, offsets=offs))(groups)
+                    h, t, offsets=offs, use_pallas=(
+                        False if dm is not None else None)))(groups)
             # the coarsest level stays banded: the coarse LU needs
             # to_dense, and its P is tiny anyway
             matrices.append(A_l if li == 0 else maybe_pack_level(
-                h, A_l, pack, near_limit=pack_near_limit))
+                h, A_l, pack, near_limit=pack_near_limit, device_mesh=dm))
             del groups
         if not (matfree_fine or A_fine is None):
             matrices.append(maybe_pack_level(handlers[-1], A_fine, pack,

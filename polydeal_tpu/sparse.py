@@ -587,6 +587,42 @@ class BlockPacked:
     def __matmul__(self, x):
         return self.matvec(x)
 
+    def to_banded(self) -> "BlockBanded":
+        """Exact unpack back to the dense band (per-slot masked
+        expansion).  Used by the sharded builder to REPACK with an
+        explicit near/far split when this pack's plan holds far offsets
+        (their global-roll windows are invalid on shards)."""
+        assert self.far_data is None, "unpack with an explicit far tail"
+        plan = self.plan
+        nb, R_pad, P = plan.nb, plan.R_pad, self.data_i.shape[-1]
+        rows = []
+        for o_idx in range(len(plan.offsets)):
+            (k,) = [s for s, sl in enumerate(plan.slots) if o_idx in sl]
+            mask = (self.oid[k] == o_idx)[None, None, :]
+            blk = jnp.stack(
+                [jnp.stack([self.data_i[i * R_pad + k * nb + j]
+                            for j in range(nb)], axis=0)
+                 for i in range(nb)], axis=0)  # [nb, nb, P]
+            rows.append(jnp.where(mask, blk, 0.0))
+        return BlockBanded(
+            data=jnp.stack(rows, axis=0),
+            offsets=np.asarray(plan.offsets, dtype=np.int64),
+            n_block_cols=self.n_block_cols)
+
+    def sparsity_pairs(self):
+        """(src, dst) directed block pairs of this pack (host numpy),
+        including any explicit far tail — enough to rebuild a plan."""
+        oid = np.asarray(self.oid)
+        offs = np.asarray(self.plan.offsets)
+        ks, ps = np.nonzero(oid >= 0)
+        src = ps.astype(np.int64)
+        dst = src + offs[oid[ks, ps]]
+        if self.far_rows is not None and self.far_rows.size:
+            src = np.concatenate([src, np.asarray(self.far_rows)])
+            dst = np.concatenate([dst, np.asarray(self.far_cols)])
+        keep = src != dst
+        return src[keep], dst[keep]
+
     def diagonal_t(self) -> jnp.ndarray:
         """[nb, P].  Offset 0 is present on every lane, so it conflicts
         with every other offset and the coloring necessarily gives it a

@@ -25,11 +25,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# persistent compilation cache: the suite is dominated by repeated
-# MG/sharding compiles — caching across runs/chunks cuts wall time
-_cache_dir = os.environ.get("POLYDEAL_JAX_CACHE",
-                            os.path.expanduser("~/.cache/polydeal_jax"))
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: a persistent compilation cache was tried here (round 3) and
+# reverted: XLA:CPU's AOT loader intermittently aborts on cache entries
+# whose recorded machine features disagree with the running host
+# ("+prefer-no-scatter ... could lead to SIGILL", then SIGABRT in
+# pjit) — a crashing suite is worse than a slow one.  Opt in manually
+# via POLYDEAL_JAX_CACHE if the environment is known-stable.
+_cache_dir = os.environ.get("POLYDEAL_JAX_CACHE")
+if _cache_dir:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -277,3 +277,35 @@ def test_packed_far_tail_matches():
     y_pack = packed.matvec_t(xt)
     err = float(jnp.abs(y_band - y_pack).max() / jnp.abs(y_band).max())
     assert err < 1e-10
+
+
+def test_packed_full_coloring_kernel_far(monkeypatch):
+    """near_limit=-1: far offsets stay in the slots and the kernel reads
+    them from pre-rolled x copies.  Force a tiny tile so the far branch
+    actually runs in interpret mode."""
+    import polydeal_tpu.ops.packed as opk
+    from polydeal_tpu.sparse import BlockPacked
+
+    ah, A, offs = _rtree_leaf_band(n=32, dim=2)
+    orig = opk.pick_tile_packed
+    monkeypatch.setattr(opk, "pick_tile_packed",
+                        lambda P, nr, it, budget=0: 128 if P % 128 == 0
+                        else orig(P, nr, it))
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    plan, oid, frows, fcols = opk.build_pack_plan(
+        ft.poly_in[interior], ft.poly_out[interior],
+        ah.n_poly, ah.n_basis, offsets=offs, near_limit=-1)
+    assert frows.size == 0
+    assert any(abs(o) > 128 for o in plan.offsets)  # far branch exercised
+    packed = A.to_packed(plan, jnp.asarray(oid))
+    rng = np.random.default_rng(7)
+    xt = jnp.asarray(rng.standard_normal((ah.n_basis, ah.n_poly)),
+                     dtype=A.data.dtype)
+    y_band = A.matvec_t(xt)
+    y_pack = packed.matvec_t(xt)
+    assert float(jnp.abs(y_band - y_pack).max()
+                 / jnp.abs(y_band).max()) < 1e-10
+    # exact round trip back to the band
+    band2 = packed.to_banded()
+    assert np.allclose(np.asarray(band2.data), np.asarray(A.data))

@@ -188,3 +188,46 @@ def test_sharded_banded_packed_rtree_matches_host():
     x, iters, res = ss.solve_cg(b, rtol=1e-9)
     assert iters == int(r_host.iterations)
     assert np.allclose(np.asarray(x), np.asarray(r_host.x), atol=1e-9)
+
+
+def test_sharded_repacks_full_coloring_plan():
+    """A full-coloring pack (far offsets in slots, single-chip mode) must
+    be repacked with an explicit near/far split when sharded — and still
+    match the host solve."""
+    import jax.numpy as jnp
+    from polydeal_tpu.agglomeration import RTreeAgglomerator
+    from polydeal_tpu.assembly import assemble_rhs
+    from polydeal_tpu.assembly.sipg import (
+        assemble_sipg_banded_direct, build_banded_groups)
+    from polydeal_tpu.parallel import make_mesh
+    from polydeal_tpu.parallel.banded import ShardedBandedSystem
+    from polydeal_tpu.solvers import build_multigrid, build_rtree_hierarchy
+    from polydeal_tpu.sparse import BlockPacked
+
+    mesh2 = pd.hyper_cube(2, 16)
+    agg = RTreeAgglomerator.build(mesh2.cell_centers())
+    handlers, parents = build_rtree_hierarchy(
+        mesh2, agg, list(range(1, agg.n_levels - 1)), degree=1)
+    ah = handlers[-1]
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
+    offs = np.unique(np.concatenate([diffs, -diffs,
+                                     np.zeros(1, dtype=np.int64)]))
+    groups = build_banded_groups(ah, offs, jnp.float64)
+    A = assemble_sipg_banded_direct(ah, groups, offsets=offs,
+                                    use_pallas=False)
+    b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    mg = build_multigrid(handlers, parents, A, level_assembly="banded",
+                         pack=True)  # default: FULL coloring
+    fine = mg.ells[-1]
+    assert isinstance(fine, BlockPacked) and fine.far_data is None
+    per = ah.n_poly // 8
+    assert max(abs(o) for o in fine.plan.offsets) > per  # repack required
+    r_host = mg.solve_cg(b, rtol=1e-9)
+    ss = ShardedBandedSystem.from_multigrid(mg, make_mesh(8))
+    assert ss.levels[-1].has_far  # the split actually happened
+    x, iters, res = ss.solve_cg(b, rtol=1e-9)
+    assert iters == int(r_host.iterations)
+    assert np.allclose(np.asarray(x), np.asarray(r_host.x), atol=1e-9)
