@@ -71,6 +71,7 @@ class _SLevel:
     # transfer INTO this level from the coarser one (self = fine side)
     uniform_C: int = 0
     grid_shape_loc: tuple | None = None
+    has_lo: bool = False  # low-precision smoother copies present
 
 
 def _halo_bound(ell: "BlockPacked", per: int, on_tpu: bool) -> int | None:
@@ -238,6 +239,18 @@ class ShardedBandedSystem:
             dinv = mg.dinvs_t[l]
             pl_["dinv"] = (dinv if dinv.ndim == 2
                            else dinv.reshape(-1, ell.n_basis).T)
+            # low-precision smoother copies (the preconditioner may be
+            # inexact — same policy as Multigrid.setup's precond_dtype)
+            if mg.lo_ells is not None:
+                lo_dt = (mg.lo_ells[l].data_i.dtype
+                         if hasattr(mg.lo_ells[l], "data_i")
+                         and mg.lo_ells[l].data_i is not None
+                         else mg.lo_ells[l].data.dtype)
+                if "data_i" in pl_:
+                    pl_["lo_data_i"] = pl_["data_i"].astype(lo_dt)
+                elif "band" in pl_:
+                    pl_["lo_band"] = pl_["band"].astype(lo_dt)
+                lv.has_lo = True
             # transfer into this level (from the coarser sharded level,
             # or from the replicated boundary — localized either way)
             if t.grid_shape is not None:
@@ -326,27 +339,36 @@ class ShardedBandedSystem:
         """[nb, per + 2T]: real halo lanes from ring neighbors."""
         n, ax = self.n_dev, self.axis
         T = lv.T
-        lh = jax.lax.ppermute(x_loc[:, lv.per - T:], ax,
-                              [(j, (j + 1) % n) for j in range(n)])
-        rh = jax.lax.ppermute(x_loc[:, :T], ax,
-                              [(j, (j - 1) % n) for j in range(n)])
+        if n == 1:
+            # identity collective: plain slices keep XLA fusion intact
+            lh = x_loc[:, lv.per - T:]
+            rh = x_loc[:, :T]
+        else:
+            lh = jax.lax.ppermute(x_loc[:, lv.per - T:], ax,
+                                  [(j, (j + 1) % n) for j in range(n)])
+            rh = jax.lax.ppermute(x_loc[:, :T], ax,
+                                  [(j, (j - 1) % n) for j in range(n)])
         return jnp.concatenate([lh, x_loc, rh], axis=1)
 
-    def _matvec(self, lv: _SLevel, pl_, x_loc):
+    def _matvec(self, lv: _SLevel, pl_, x_loc, lo: bool = False):
         x_ext = self._halo_x(lv, x_loc)
         if lv.kind == "packed":
-            y = self._near_matvec(lv, pl_, x_ext)
+            y = self._near_matvec(lv, pl_, x_ext, lo)
             if lv.has_far:
+                # far tail stays f32 (tiny data; not worth a lo copy)
                 y = y + self._far_matvec(lv, pl_, x_loc)
             return y
-        return self._near_matvec(lv, pl_, x_ext)
+        return self._near_matvec(lv, pl_, x_ext, lo)
 
-    def _near_matvec(self, lv: _SLevel, pl_, x_ext):
+    def _near_matvec(self, lv: _SLevel, pl_, x_ext, lo: bool = False):
+        lo = lo and lv.has_lo
+        key_i = "lo_data_i" if lo and "lo_data_i" in pl_ else "data_i"
+        key_b = "lo_band" if lo and "lo_band" in pl_ else "band"
         if lv.kind == "packed":
             if lv.use_kernel:
                 from polydeal_tpu.ops.packed import packed_matvec_t_halo
 
-                return packed_matvec_t_halo(pl_["data_i"], pl_["oid"],
+                return packed_matvec_t_halo(pl_[key_i], pl_["oid"],
                                             lv.plan, x_ext)
             # XLA windows over the halo-extended slab (static slices —
             # no wrap, matching the ring-halo contract)
@@ -356,7 +378,7 @@ class ShardedBandedSystem:
             acc_t = x_ext.dtype
             y = jnp.zeros((nb, per), dtype=acc_t)
             R_pad = plan.R_pad
-            di = pl_["data_i"]
+            di = pl_[key_i]
             for k in range(plan.K):
                 sel = jnp.zeros((nb, per), dtype=acc_t)
                 for o_idx in plan.slots[k]:
@@ -372,10 +394,10 @@ class ShardedBandedSystem:
         if lv.use_kernel:
             from polydeal_tpu.ops.banded import banded_matvec_t_halo
 
-            return banded_matvec_t_halo(pl_["data_i"], np.asarray(lv.offsets),
+            return banded_matvec_t_halo(pl_[key_i], np.asarray(lv.offsets),
                                         lv.nb, x_ext)
         T, per = lv.T, lv.per
-        band = pl_["band"]
+        band = pl_[key_b]
         y = jnp.zeros((lv.nb, per), dtype=x_ext.dtype)
         for k, o in enumerate(lv.offsets):
             w = jax.lax.dynamic_slice_in_dim(x_ext, T + o, per, 1)
@@ -407,7 +429,7 @@ class ShardedBandedSystem:
 
         dinv = pl_["dinv"]
         sm = ChebyshevSmoother(
-            A=lambda v: self._matvec(lv, pl_, v),
+            A=lambda v: self._matvec(lv, pl_, v, lo=True),
             Minv=lambda r: dinv * r,
             lo=lv.lo, hi=lv.hi, degree=self.chebyshev_degree)
         for _ in range(self.n_smooth):
@@ -459,15 +481,22 @@ class ShardedBandedSystem:
         else:
             # boundary: gather the (small) coarse rhs, run the replicated
             # bottom V-cycle redundantly on every shard, slice back
-            rc_full = jax.lax.all_gather(rc_loc, self.axis, axis=1,
-                                         tiled=True)
+            if self.n_dev == 1:
+                rc_full = rc_loc
+            else:
+                rc_full = jax.lax.all_gather(rc_loc, self.axis, axis=1,
+                                             tiled=True)
             if rep_mg.n_levels:
                 xc_full = rep_mg._cycle(rep_mg.n_levels - 1, rc_full)
             else:
                 xc_full = rc_full
-            i = jax.lax.axis_index(self.axis)
-            per_c = rc_loc.shape[1]
-            xc = jax.lax.dynamic_slice_in_dim(xc_full, i * per_c, per_c, 1)
+            if self.n_dev == 1:
+                xc = xc_full
+            else:
+                i = jax.lax.axis_index(self.axis)
+                per_c = rc_loc.shape[1]
+                xc = jax.lax.dynamic_slice_in_dim(xc_full, i * per_c,
+                                                  per_c, 1)
         x = x + self._prolong_loc(lv, pl_, xc)
         x = self._smooth(lv, pl_, b_loc, x)
         return x
@@ -477,19 +506,38 @@ class ShardedBandedSystem:
                  precondition: bool = True):
         """SPMD MG-CG in the transposed lane-aligned layout throughout.
         b: flat [n_dofs]; returns (x flat, iterations, residual)."""
-        nb = self.nb
+        run = self._compiled(rtol, maxiter, precondition)
+        x, k, res = run(jnp.asarray(b), self.params, self.rep_mg)
+        return x, int(k[0]), float(res[0])
+
+    def _compiled(self, rtol, maxiter, precondition):
+        """Jitted shard_map program, cached per solver configuration
+        (rebuilding it per call would re-trace and re-compile)."""
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        key = (rtol, maxiter, precondition)
+        if key in cache:
+            return cache[key]
         fine = self.levels[-1]
-        bt = jnp.asarray(b).reshape(-1, nb).T  # [nb, P]
         n_levels = len(self.levels)
         rep_specs = jax.tree.map(lambda _: P(), self.rep_mg)
+
+        nb = self.nb
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(None, self.axis), self._specs(), rep_specs),
-            out_specs=(P(None, self.axis), P(), P()),
+            in_specs=(P(self.axis), self._specs(), rep_specs),
+            out_specs=(P(self.axis), P(), P()),
+            # pallas_call inside shard_map cannot express varying-mesh-
+            # axes metadata on its out_shape; disable the vma checker
+            check_vma=False,
         )
-        def run(b_loc, lv, rep_mg):
+        def run(b_flat, lv, rep_mg):
+            # layout conversion INSIDE the program (block rows are
+            # shard-local, so the flat chunk reshapes locally)
+            b_loc = b_flat.reshape(-1, nb).T
             fine_pl = lv[-1]
 
             def Aop(v):
@@ -524,8 +572,8 @@ class ShardedBandedSystem:
 
             x, r, p, rz, k = jax.lax.while_loop(
                 cond, body, (x, r, p, rz, jnp.asarray(0, jnp.int32)))
-            return x, k[None], jnp.sqrt(self._dot(r, r))[None]
+            return (x.T.reshape(-1), k[None],
+                    jnp.sqrt(self._dot(r, r))[None])
 
-        xt, k, res = jax.jit(run)(bt, self.params, self.rep_mg)
-        x = xt.T.reshape(-1)
-        return x, int(k[0]), float(res[0])
+        cache[key] = jax.jit(run)
+        return cache[key]

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from polydeal_tpu.fem.quadrature import (
     gauss_legendre_1d,
     tensor_gauss,
@@ -98,3 +100,58 @@ def test_make_basis():
     assert make_basis("dgq", 2, 2).n_basis == 9
     with pytest.raises(ValueError):
         make_basis("nope", 2, 1)
+
+
+# ---------------------------------------------------------------- hp
+
+
+def test_hp_two_degree_exactness():
+    """Per-polytope degree (hp): a two-degree space (p=1 left / p=2
+    right) reproduces a LINEAR solution to round-off everywhere, and a
+    QUADRATIC one where p=2 locally suffices — the spirit of the
+    reference's test/polydeal/fe_collection_agglomeration.cc over its
+    hp distribute_agglomerated_dofs (agglomeration_handler.cc:381-474)."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.agglomeration import RTreeAgglomerator
+    from polydeal_tpu.fem.hp import (
+        build_hp_poisson, hp_l2_error, solve_hp_dense)
+
+    mesh = pd.hyper_cube(2, 8)
+    agg = RTreeAgglomerator.build(mesh.cell_centers())
+    c2p = agg.extract_agglomerates(2)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=1)
+    # polytope centers -> left half p=1, right half p=2
+    cx = np.zeros(ah.n_poly)
+    np.add.at(cx, c2p, mesh.cell_centers()[:, 0])
+    cx /= np.bincount(c2p)
+    degrees = np.where(cx < 0.5, 1, 2)
+    assert (degrees == 1).any() and (degrees == 2).any()
+
+    # dof bookkeeping: 3 per p1 polytope + 6 per p2 polytope (2D DGP)
+    u_lin = lambda x: 1.0 + 2 * x[..., 0] - x[..., 1]
+    space, op, rhs = build_hp_poisson(
+        ah, degrees, f_fn=lambda x: jnp.zeros(x.shape[:-1]), g_fn=u_lin)
+    n1, n2 = int((degrees == 1).sum()), int((degrees == 2).sum())
+    assert space.n_dofs == 3 * n1 + 6 * n2
+    x = solve_hp_dense(space, op, rhs)
+    err = hp_l2_error(ah, space, degrees, x, u_lin)
+    assert err < 1e-11, err
+
+    # quadratic: exact where every polytope has p >= 2
+    u_quad = lambda x: x[..., 0] ** 2 + 0.5 * x[..., 1] ** 2
+    f_quad = lambda x: -3.0 * jnp.ones(x.shape[:-1])
+    deg2 = np.full(ah.n_poly, 2)
+    space2, op2, rhs2 = build_hp_poisson(ah, deg2, f_fn=f_quad, g_fn=u_quad)
+    x2 = solve_hp_dense(space2, op2, rhs2)
+    err2 = hp_l2_error(ah, space2, deg2, x2, u_quad)
+    assert err2 < 1e-11, err2
+
+    # and with the MIXED space, the quadratic error localizes: the p=2
+    # bucket's contribution is discretization-limited by the p=1 side
+    # only through the interface — global error far above round-off but
+    # bounded (sanity that mixed-degree coupling is consistent)
+    space3, op3, rhs3 = build_hp_poisson(ah, degrees, f_fn=f_quad,
+                                         g_fn=u_quad)
+    x3 = solve_hp_dense(space3, op3, rhs3)
+    err3 = hp_l2_error(ah, space3, degrees, x3, u_quad)
+    assert 1e-9 < err3 < 0.05, err3

@@ -99,3 +99,35 @@ def test_oseen_iterative_matches_dense():
     res = solve_oseen_iterative(space, op, rhs, meta, rtol=1e-11)
     err = float(jnp.abs(res.x - xd).max() / jnp.abs(xd).max())
     assert err < 1e-6
+
+
+def test_oseen_mg_preconditioned_matches_dense():
+    """GMRES + field-wise R3MG preconditioner matches the dense Oseen
+    solution with bounded count growth (VERDICT round-2 item 6)."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.mesh.fine_mesh import hyper_rectangle
+    from polydeal_tpu.models.oseen import (build_oseen, solve_oseen_dense,
+                                           solve_oseen_mg)
+
+    iters = {}
+    for n in (8, 16):
+        mesh = hyper_rectangle(2, [n, n], lo=[-0.5, 0.0], hi=[1.5, 2.0])
+        centers = mesh.cell_centers()
+        m = n // 2
+        bx = np.minimum(((centers[:, 0] + 0.5) / 2.0 * m).astype(int),
+                        m - 1)
+        by = np.minimum((centers[:, 1] / 2.0 * m).astype(int), m - 1)
+        c2p = bx * m + by
+        ah = pd.AgglomerationHandler(mesh, c2p, degree=2)
+        pcx = np.zeros(ah.n_poly)
+        np.add.at(pcx, c2p, centers[:, 0])
+        pcx /= np.bincount(c2p)
+        domain_id = (pcx > 0.5).astype(int)
+        space, op, rhs, meta = build_oseen(ah, domain_id)
+        x_dense = solve_oseen_dense(space, op, rhs, meta)
+        res = solve_oseen_mg(space, op, rhs, meta, mesh, n, 2, rtol=1e-11)
+        err = float(jnp.abs(res.x - x_dense).max()
+                    / jnp.abs(x_dense).max())
+        assert err < 1e-6, (n, err)
+        iters[n] = int(res.iterations)
+    assert iters[16] <= 2.5 * iters[8] + 20, iters
