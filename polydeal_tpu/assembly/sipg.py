@@ -150,15 +150,19 @@ def build_face_tables(ah: AgglomerationHandler, dtype=jnp.float64,
     ``h_scale='orthogonal'`` replaces the penalty length h_f (polytope
     bbox diameter by default) with the face-orthogonal depth
     (reference's optional CGAL h_perp, poly_utils.h:399-513) — sharper
-    penalties on stretched/distorted agglomerates."""
+    penalties on stretched/distorted agglomerates;
+    ``h_scale='orthogonal_exact'`` uses the exact ray-shooting variant
+    (value parity with the reference's CGAL numbers)."""
     basis = basis or ah.basis
     faces = ah.faces
-    if h_scale == "orthogonal":
+    if h_scale in ("orthogonal", "orthogonal_exact"):
         from polydeal_tpu.metrics import face_h_orthogonal
 
         import dataclasses
 
-        faces = dataclasses.replace(faces, h_f=face_h_orthogonal(ah))
+        method = "exact" if h_scale == "orthogonal_exact" else "sampled"
+        faces = dataclasses.replace(
+            faces, h_f=face_h_orthogonal(ah, method=method))
     elif h_scale != "diameter":
         raise ValueError(f"unknown h_scale: {h_scale}")
     out = []
@@ -552,6 +556,36 @@ def assemble_rhs_direct(ah: AgglomerationHandler, tables: dict, f_fn,
 
 
 
+def _pad_lane_tables(tables, pad: int):
+    """Zero-pad the lane (last) dim of the slot-padded tables by ``pad``
+    so the Pallas kernels see a multiple-of-128 lane count.  Padded
+    lanes carry zero weights/normals (their blocks vanish), midpoint
+    unit coordinates, and unit h_f/extents (finite gamma and inverse
+    extents — no inf*0 NaNs)."""
+    if pad == 0:
+        return tables, tables["ext_t"]
+
+    def pl_(a, fill):
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return jnp.pad(a, widths, constant_values=fill)
+
+    def pad_group(g, both):
+        out = dict(w=pl_(g["w"], 0.0), n=pl_(g["n"], 0.0),
+                   h_f=pl_(g["h_f"], 1.0), pts_in=pl_(g["pts_in"], 0.5))
+        if both:
+            out["pts_out"] = pl_(g["pts_out"], 0.5)
+        return out
+
+    padded = dict(
+        groups={o: pad_group(g, True) for o, g in tables["groups"].items()},
+        bdry=None if tables["bdry"] is None
+        else pad_group(tables["bdry"], False),
+        vol=dict(pts=pl_(tables["vol"]["pts"], 0.5),
+                 w=pl_(tables["vol"]["w"], 0.0)),
+    )
+    return padded, pl_(tables["ext_t"], 1.0)
+
+
 def _emit_banded(pieces, offsets, nb, P, layout):
     """Final banded container from per-offset [nb, nb, P] pieces.
 
@@ -589,18 +623,22 @@ def assemble_sipg_banded_direct(
     basis=None,
     use_pallas: bool | None = None,
     layout: str = "omajor",
+    interpret: bool = False,
 ):
     """Banded SIPG assembly over slot-padded tables (see
     :func:`build_banded_groups`) — pure einsum/sum/roll, no scatters or
     gathers anywhere.  Measured ~100x faster than segment-sum / gather
     reductions on TPU at 10^6 DoF (which run at <1% of HBM bandwidth).
 
-    On TPU with C=1 groups (one fine face per band slot — the
-    structured / trivial-agglomeration case) the face/volume block
-    computation runs in Pallas kernels (ops/sipg_kernels.py) that keep
-    basis evaluation and the q-contractions in registers — the XLA
-    einsum lowering materializes [nb,nb,q,P] broadcast intermediates at
-    ~8% of bandwidth."""
+    On TPU (dgp basis, f32 tables) the face/volume block computation
+    runs in Pallas kernels (ops/sipg_kernels.py) that keep basis
+    evaluation and the q-contractions in registers — the XLA einsum
+    lowering materializes [nb,nb,q,P] broadcast intermediates at ~8% of
+    bandwidth.  General agglomerations (C > 1 fine entities per slot,
+    e.g. the R-tree hierarchy) accumulate inside the kernels; lane
+    counts not divisible by 128 are zero-padded for the kernel calls
+    and sliced back.  ``interpret=True`` forces the Pallas path in
+    interpreter mode (CPU parity tests)."""
     import jax as _jax
 
     from polydeal_tpu.sparse import BlockBanded
@@ -614,47 +652,44 @@ def assemble_sipg_banded_direct(
 
     if use_pallas is None:
         use_pallas = _jax.default_backend() == "tpu"
-    pallas_ok = (
-        use_pallas
+    kernels_on = (
+        (use_pallas or interpret)
         and ah.family == "dgp"
-        and P % 128 == 0
-        and tables["vol"]["pts"].shape[0] == 1
-        and all(g["pts_in"].shape[0] == 1
-                for g in tables["groups"].values())
         and jnp.zeros(0, dtype=tables["vol"]["w"].dtype).dtype
         == jnp.float32
     )
-    if pallas_ok:
+    # per-kernel VMEM feasibility at the minimum lane tile (128):
+    # infeasible pieces (huge C on coarse levels) fall back to the XLA
+    # einsums individually — the rest stays in Pallas
+    vol_pal = bdry_pal = False
+    face_pal = {o: False for o in tables["groups"]}
+    if kernels_on:
         from polydeal_tpu.ops.sipg_kernels import (
-            boundary_blocks_pallas,
-            face_group_blocks_pallas,
-            volume_blocks_pallas,
+            _boundary_lane_cost,
+            _face_lane_cost,
+            _pick_tile,
+            _volume_lane_cost,
         )
 
-        diag = volume_blocks_pallas(
-            tables["vol"], ext_t, ah.degree, ah.dim).reshape(nb, nb, P)
-        rows = {int(o): None for o in offsets}
-        for o, g in tables["groups"].items():
-            m11, m12, m21, m22 = face_group_blocks_pallas(
-                g, ext_t, o, ah.degree, ah.dim, penalty_constant)
-            diag = diag + m11.reshape(nb, nb, P) \
-                + jnp.roll(m22.reshape(nb, nb, P), o, axis=-1)
-            m12r = m12.reshape(nb, nb, P)
-            rows[o] = m12r if rows[o] is None else rows[o] + m12r
-            m21r = jnp.roll(m21.reshape(nb, nb, P), o, axis=-1)
-            rows[-o] = m21r if rows[-o] is None else rows[-o] + m21r
-        if tables["bdry"] is not None and tables["bdry"]["w"].shape[0] <= 8:
-            diag = diag + boundary_blocks_pallas(
-                tables["bdry"], ext_t, ah.degree, ah.dim,
-                penalty_constant).reshape(nb, nb, P)
-        else:
-            diag = diag + _boundary_band_xla(ah, tables, penalty_constant,
-                                             basis, ext_t, nb, P)
-        zero = jnp.zeros((nb, nb, P), dtype=diag.dtype)
-        pieces = [diag if o == 0 else (rows[int(o)] if rows[int(o)]
-                                       is not None else zero)
-                  for o in offsets]
-        return _emit_banded(pieces, offsets, nb, P, layout)
+        fits = lambda c: _pick_tile(128, c) is not None
+        vol_pal = fits(_volume_lane_cost(
+            nb, ah.dim, tables["vol"]["w"].shape[1],
+            tables["vol"]["w"].shape[0]))
+        face_pal = {
+            o: fits(_face_lane_cost(nb, ah.dim, g["w"].shape[1],
+                                    g["w"].shape[0]))
+            for o, g in tables["groups"].items()
+        }
+        gb = tables["bdry"]
+        bdry_pal = (gb is not None and gb["w"].shape[0] <= 8
+                    and fits(_boundary_lane_cost(
+                        nb, ah.dim, gb["w"].shape[1], gb["w"].shape[0])))
+
+    tab_p = ext_p = None
+    P_pad = -(-P // 128) * 128
+    sl = (...,) if P_pad == P else (Ellipsis, slice(0, P))
+    if vol_pal or bdry_pal or any(face_pal.values()):
+        tab_p, ext_p = _pad_lane_tables(tables, P_pad - P)
 
     def eval_tables(pts):
         """pts [C, q, d, P] -> B [C, q, nb, P], G [C, q, nb, d, P] via
@@ -666,39 +701,66 @@ def assemble_sipg_banded_direct(
         return G / ext[None, None, None, :, :]
 
     # volume: sum over padded cells
-    Bv, Gv = eval_tables(tables["vol"]["pts"])
-    Gv = real_grad(Gv, ext_t)
-    wv = tables["vol"]["w"]  # [Cc, q, P]
-    diag = jnp.einsum("cqidp,cqjdp,cqp->ijp", Gv, Gv, wv)
+    if vol_pal:
+        from polydeal_tpu.ops.sipg_kernels import volume_blocks_pallas
+
+        diag = volume_blocks_pallas(
+            tab_p["vol"], ext_p, ah.degree, ah.dim,
+            interpret=interpret).reshape(nb, nb, P_pad)[sl]
+    else:
+        Bv, Gv = eval_tables(tables["vol"]["pts"])
+        Gv = real_grad(Gv, ext_t)
+        wv = tables["vol"]["w"]  # [Cc, q, P]
+        diag = jnp.einsum("cqidp,cqjdp,cqp->ijp", Gv, Gv, wv)
 
     rows = {int(o): None for o in offsets}
     for o, g in tables["groups"].items():
-        B0, G0u = eval_tables(g["pts_in"])
-        B1, G1u = eval_tables(g["pts_out"])
-        # side 0 gradients scale by poly_in extents (P-aligned); side 1
-        # by poly_out = P + o extents: roll the extent lanes by -o
-        G0 = real_grad(G0u, ext_t)
-        G1 = real_grad(G1u, jnp.roll(ext_t, -o, axis=1))
-        n, w = g["n"], g["w"]
-        gamma = penalty_constant / g["h_f"]  # [C, P]
-        gn0 = jnp.einsum("cqidp,cqdp->cqip", G0, n)
-        gn1 = jnp.einsum("cqidp,cqdp->cqip", G1, n)
-        wg = w * gamma[:, None, :]
+        if face_pal[o]:
+            from polydeal_tpu.ops.sipg_kernels import face_group_blocks_pallas
 
-        def blk(a, b, wgt):
-            return jnp.einsum("cqip,cqjp,cqp->ijp", a, b, wgt)
+            m11, m12, m21, m22 = (
+                m.reshape(nb, nb, P_pad)[sl]
+                for m in face_group_blocks_pallas(
+                    tab_p["groups"][o], ext_p, o, ah.degree, ah.dim,
+                    penalty_constant, interpret=interpret))
+        else:
+            B0, G0u = eval_tables(g["pts_in"])
+            B1, G1u = eval_tables(g["pts_out"])
+            # side 0 gradients scale by poly_in extents (P-aligned);
+            # side 1 by poly_out = P + o extents: roll the lanes by -o
+            G0 = real_grad(G0u, ext_t)
+            G1 = real_grad(G1u, jnp.roll(ext_t, -o, axis=1))
+            n, w = g["n"], g["w"]
+            gamma = penalty_constant / g["h_f"]  # [C, P]
+            gn0 = jnp.einsum("cqidp,cqdp->cqip", G0, n)
+            gn1 = jnp.einsum("cqidp,cqdp->cqip", G1, n)
+            wg = w * gamma[:, None, :]
 
-        m11 = -0.5 * blk(gn0, B0, w) - 0.5 * blk(B0, gn0, w) + blk(B0, B0, wg)
-        m12 = 0.5 * blk(gn0, B1, w) - 0.5 * blk(B0, gn1, w) - blk(B0, B1, wg)
-        m21 = -0.5 * blk(gn1, B0, w) + 0.5 * blk(B1, gn0, w) - blk(B1, B0, wg)
-        m22 = 0.5 * blk(gn1, B1, w) + 0.5 * blk(B1, gn1, w) + blk(B1, B1, wg)
+            def blk(a, b, wgt):
+                return jnp.einsum("cqip,cqjp,cqp->ijp", a, b, wgt)
+
+            m11 = (-0.5 * blk(gn0, B0, w) - 0.5 * blk(B0, gn0, w)
+                   + blk(B0, B0, wg))
+            m12 = (0.5 * blk(gn0, B1, w) - 0.5 * blk(B0, gn1, w)
+                   - blk(B0, B1, wg))
+            m21 = (-0.5 * blk(gn1, B0, w) + 0.5 * blk(B1, gn0, w)
+                   - blk(B1, B0, wg))
+            m22 = (0.5 * blk(gn1, B1, w) + 0.5 * blk(B1, gn1, w)
+                   + blk(B1, B1, wg))
         diag = diag + m11 + jnp.roll(m22, o, axis=-1)
         rows[o] = m12 if rows[o] is None else rows[o] + m12
         m21r = jnp.roll(m21, o, axis=-1)
         rows[-o] = m21r if rows[-o] is None else rows[-o] + m21r
 
-    diag = diag + _boundary_band_xla(ah, tables, penalty_constant, basis,
-                                     ext_t, nb, P)
+    if bdry_pal:
+        from polydeal_tpu.ops.sipg_kernels import boundary_blocks_pallas
+
+        diag = diag + boundary_blocks_pallas(
+            tab_p["bdry"], ext_p, ah.degree, ah.dim, penalty_constant,
+            interpret=interpret).reshape(nb, nb, P_pad)[sl]
+    else:
+        diag = diag + _boundary_band_xla(ah, tables, penalty_constant,
+                                         basis, ext_t, nb, P)
 
     zero = jnp.zeros((nb, nb, P), dtype=diag.dtype)
     pieces = [diag if o == 0 else (rows[int(o)] if rows[int(o)] is not None

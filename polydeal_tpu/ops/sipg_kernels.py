@@ -8,11 +8,15 @@ AND the SIPG blocks entirely in registers, streaming only geometry in
 and band rows out.
 
 Data model per face group (see ``assembly.sipg.build_banded_groups``):
-C = 1 fine face per (offset, polytope) slot — the structured-mesh case;
-general meshes with C > 1 accumulate over an outer C loop.  All in-kernel
-tensors are [q, T] lane slabs (q in sublanes, polytopes in lanes), so
-every VPU op runs at full width; the (i, j) block loops are static
-unrolls over the basis exponent table.
+C fine faces per (offset, polytope) slot (C = 1 on structured meshes;
+general R-tree/METIS agglomerations have C > 1) — the kernels accumulate
+over a static C loop, so only the [C, q, T] input slabs scale with C
+while the basis/block working set stays fixed.  All in-kernel tensors
+are [q, T] lane slabs (q in sublanes, polytopes in lanes), so every VPU
+op runs at full width; the (i, j) block loops are static unrolls over
+the basis exponent table.  Lane counts P that are not multiples of 128
+are zero-padded by the caller (padded lanes carry zero weights, unit
+h_f/extents) and sliced back after the call.
 
 Reference parity: the four jump/average blocks match
 ``PolyUtils::assemble_local_jumps_and_averages`` (reference
@@ -87,21 +91,25 @@ def _pick_tile(P, bytes_per_lane, budget=5 * 2**20):
     return None
 
 
-def _face_lane_cost(nb, dim, q):
-    """Per-lane f32 bytes live in the face kernel: basis values+grads on
-    both sides, normal-derivative slabs, four nb² output blocks, inputs."""
-    return 4 * (2 * nb * (1 + dim) * q  # B, G both sides
-                + 2 * nb * q            # gn0, gn1
-                + 4 * nb * nb           # four output blocks
-                + 3 * dim * q + 2 * q + 2 * dim + 1)  # inputs/weights
+def _face_lane_cost(nb, dim, q, C=1):
+    """Per-lane f32 bytes live in the face kernel.  Measured on v5e:
+    Mosaic double-buffers the [C, ...] inputs and does NOT reuse the
+    per-c basis/normal-derivative slabs across the C loop (observed
+    ~3.9k f32/lane for C=16, nb=4, dim=3, q=4 — matching this model),
+    so every term scales with C."""
+    return 4 * (2 * C * (3 * dim * q + q + 1)   # pts/n/w/gamma, dbl-buf
+                + C * 2 * nb * (1 + dim) * q    # B, G both sides, per c
+                + C * 2 * nb * q                # gn0, gn1 per c
+                + 4 * nb * nb                   # four accumulator blocks
+                + 2 * dim)                      # inv extents
 
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("degree", "dim", "q", "penalty", "interpret"),
+    static_argnames=("degree", "dim", "q", "C", "penalty", "interpret"),
 )
 def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
-                     degree, dim, q, penalty, interpret):
+                     degree, dim, q, C, penalty, interpret):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -112,49 +120,67 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
     E = _complete_exponents(dim, degree)
     nb = E.shape[0]
     P = w.shape[-1]
-    T = _pick_tile(P, _face_lane_cost(nb, dim, q))
+    T = _pick_tile(P, _face_lane_cost(nb, dim, q, C))
     assert T is not None
 
     def kernel(pi_ref, po_ref, w_ref, n_ref, g_ref, ei_ref, eo_ref,
                m11_ref, m12_ref, m21_ref, m22_ref):
-        wq = w_ref[:, :]  # [q, T]
-        gam = g_ref[:, :]  # [1, T]
-        pin = [pi_ref[d] for d in range(dim)]  # each [q, T]
-        pout = [po_ref[d] for d in range(dim)]
-        nrm = [n_ref[d] for d in range(dim)]
         iei = [ei_ref[d:d + 1, :] for d in range(dim)]  # [1, T]
         ieo = [eo_ref[d:d + 1, :] for d in range(dim)]
-        B0, G0 = _basis_slabs(pin, E, degree, iei, jnp)
-        B1, G1 = _basis_slabs(pout, E, degree, ieo, jnp)
-        gn0 = [sum(G0[i][d] * nrm[d] for d in range(dim)) for i in range(nb)]
-        gn1 = [sum(G1[i][d] * nrm[d] for d in range(dim)) for i in range(nb)]
+        acc = [[[None] * nb for _ in range(nb)] for _ in range(4)]
+        for c in range(C):
+            wq = w_ref[c]  # [q, T]
+            gam = g_ref[c:c + 1, :]  # [1, T]
+            pin = [pi_ref[c, :, d, :] for d in range(dim)]  # each [q, T]
+            pout = [po_ref[c, :, d, :] for d in range(dim)]
+            nrm = [n_ref[c, :, d, :] for d in range(dim)]
+            B0, G0 = _basis_slabs(pin, E, degree, iei, jnp)
+            B1, G1 = _basis_slabs(pout, E, degree, ieo, jnp)
+            gn0 = [sum(G0[i][d] * nrm[d] for d in range(dim))
+                   for i in range(nb)]
+            gn1 = [sum(G1[i][d] * nrm[d] for d in range(dim))
+                   for i in range(nb)]
 
-        def dotq(a, b, extra=None):
-            prod = a * b * wq if extra is None else a * b * (wq * extra)
-            return jnp.sum(prod, axis=0, keepdims=True)  # [1, T]
+            def dotq(a, b, extra=None):
+                prod = a * b * wq if extra is None else a * b * (wq * extra)
+                return jnp.sum(prod, axis=0, keepdims=True)  # [1, T]
 
-        for i in range(nb):
-            for j in range(nb):
-                r = i * nb + j
-                m11_ref[r:r + 1, :] = (
-                    -0.5 * dotq(gn0[i], B0[j]) - 0.5 * dotq(B0[i], gn0[j])
-                    + dotq(B0[i], B0[j], gam))
-                m12_ref[r:r + 1, :] = (
-                    0.5 * dotq(gn0[i], B1[j]) - 0.5 * dotq(B0[i], gn1[j])
-                    - dotq(B0[i], B1[j], gam))
-                m21_ref[r:r + 1, :] = (
-                    -0.5 * dotq(gn1[i], B0[j]) + 0.5 * dotq(B1[i], gn0[j])
-                    - dotq(B1[i], B0[j], gam))
-                m22_ref[r:r + 1, :] = (
-                    0.5 * dotq(gn1[i], B1[j]) + 0.5 * dotq(B1[i], gn1[j])
-                    + dotq(B1[i], B1[j], gam))
+            def add(k, i, j, term):
+                acc[k][i][j] = term if acc[k][i][j] is None \
+                    else acc[k][i][j] + term
+
+            for i in range(nb):
+                for j in range(nb):
+                    add(0, i, j,
+                        -0.5 * dotq(gn0[i], B0[j])
+                        - 0.5 * dotq(B0[i], gn0[j])
+                        + dotq(B0[i], B0[j], gam))
+                    add(1, i, j,
+                        0.5 * dotq(gn0[i], B1[j])
+                        - 0.5 * dotq(B0[i], gn1[j])
+                        - dotq(B0[i], B1[j], gam))
+                    add(2, i, j,
+                        -0.5 * dotq(gn1[i], B0[j])
+                        + 0.5 * dotq(B1[i], gn0[j])
+                        - dotq(B1[i], B0[j], gam))
+                    add(3, i, j,
+                        0.5 * dotq(gn1[i], B1[j])
+                        + 0.5 * dotq(B1[i], gn1[j])
+                        + dotq(B1[i], B1[j], gam))
+        outs = (m11_ref, m12_ref, m21_ref, m22_ref)
+        for k in range(4):
+            for i in range(nb):
+                for j in range(nb):
+                    r = i * nb + j
+                    outs[k][r:r + 1, :] = acc[k][i][j]
 
     grid = (P // T,)
     vm = pltpu.VMEM
     spec2 = lambda rows: pl.BlockSpec((rows, T), lambda t: (0, t),
                                       memory_space=vm)
-    spec3 = lambda a, b: pl.BlockSpec((a, b, T), lambda t: (0, 0, t),
-                                      memory_space=vm)
+    spec4 = pl.BlockSpec((C, q, dim, T), lambda t: (0, 0, 0, t),
+                         memory_space=vm)
+    spec3 = pl.BlockSpec((C, q, T), lambda t: (0, 0, t), memory_space=vm)
     out = pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -162,8 +188,8 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
             for _ in range(4)),
         grid=grid,
         in_specs=[
-            spec3(dim, q), spec3(dim, q), spec2(q), spec3(dim, q),
-            spec2(1), spec2(dim), spec2(dim),
+            spec4, spec4, spec3, spec4,
+            spec2(C), spec2(dim), spec2(dim),
         ],
         out_specs=tuple(spec2(nb * nb) for _ in range(4)),
         interpret=interpret,
@@ -173,26 +199,33 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
 
 def face_group_blocks_pallas(group, ext_t, offset, degree, dim,
                              penalty_constant, *, interpret=False):
-    """(m11, m12, m21, m22) each [nb*nb, P] for one C=1 face group.
+    """(m11, m12, m21, m22) each [nb*nb, P] for one face group.
 
-    group: the dict from build_banded_groups (tables [C=1, q, d, P] /
-    [C=1, q, P]); ext_t [dim, P] polytope extents (poly_in-aligned);
-    the poly_out extents are ext_t rolled by -offset.
+    group: the dict from build_banded_groups (tables [C, q, d, P] /
+    [C, q, P]; padded rows carry zero weights); ext_t [dim, P] polytope
+    extents (poly_in-aligned); the poly_out extents are ext_t rolled by
+    -offset.
     """
     import jax.numpy as jnp
 
-    q = group["w"].shape[1]
-    # [C=1, q, d, P] -> [d, q, P]
-    pts_in = jnp.transpose(group["pts_in"][0], (1, 0, 2)).astype(jnp.float32)
-    pts_out = jnp.transpose(group["pts_out"][0], (1, 0, 2)).astype(jnp.float32)
-    n = jnp.transpose(group["n"][0], (1, 0, 2)).astype(jnp.float32)
-    w = group["w"][0].astype(jnp.float32)
-    gamma = (penalty_constant / group["h_f"]).astype(jnp.float32)  # [1, P]
+    C, q = group["w"].shape[0], group["w"].shape[1]
+    pts_in = group["pts_in"].astype(jnp.float32)   # [C, q, d, P]
+    pts_out = group["pts_out"].astype(jnp.float32)
+    n = group["n"].astype(jnp.float32)
+    w = group["w"].astype(jnp.float32)
+    gamma = (penalty_constant / group["h_f"]).astype(jnp.float32)  # [C, P]
     inv_in = (1.0 / ext_t).astype(jnp.float32)
     inv_out = jnp.roll(inv_in, -offset, axis=1)
     return _face_group_impl(pts_in, pts_out, w, n, gamma, inv_in, inv_out,
-                            degree, dim, q, float(penalty_constant),
+                            degree, dim, q, C, float(penalty_constant),
                             interpret)
+
+
+def _boundary_lane_cost(nb, dim, q, C=1):
+    """Per-lane f32 bytes live in the boundary kernel (C-scaled like
+    :func:`_face_lane_cost` — Mosaic keeps per-c slabs live)."""
+    return 4 * (2 * C * ((dim + 1) * q + dim * q + 1)
+                + C * (nb * (1 + dim) * q + nb * q) + nb * nb + dim)
 
 
 @functools.partial(
@@ -210,9 +243,7 @@ def _boundary_impl(pts, w, n, gamma, inv_ext, degree, dim, q, C, interpret):
     E = _complete_exponents(dim, degree)
     nb = E.shape[0]
     P = w.shape[-1]
-    cost = 4 * (C * (nb * (1 + dim) * q + nb * q + (dim + 1) * q + 1)
-                + nb * nb + dim)
-    T = _pick_tile(P, cost)
+    T = _pick_tile(P, _boundary_lane_cost(nb, dim, q, C))
     assert T is not None
 
     def kernel(p_ref, w_ref, n_ref, g_ref, e_ref, out_ref):
@@ -274,11 +305,18 @@ def boundary_blocks_pallas(group, ext_t, degree, dim, penalty_constant, *,
                           interpret)
 
 
+def _volume_lane_cost(nb, dim, q, C=1):
+    """Per-lane f32 bytes live in the volume kernel (C-scaled like
+    :func:`_face_lane_cost` — Mosaic keeps per-c slabs live)."""
+    return 4 * (2 * C * (dim * q + q) + C * nb * (1 + dim) * q
+                + nb * nb + dim)
+
+
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("degree", "dim", "q", "interpret"),
+    static_argnames=("degree", "dim", "q", "C", "interpret"),
 )
-def _volume_impl(pts, w, inv_ext, degree, dim, q, interpret):
+def _volume_impl(pts, w, inv_ext, degree, dim, q, C, interpret):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -289,20 +327,26 @@ def _volume_impl(pts, w, inv_ext, degree, dim, q, interpret):
     E = _complete_exponents(dim, degree)
     nb = E.shape[0]
     P = w.shape[-1]
-    T = _pick_tile(P, 4 * (nb * (1 + dim) * q + nb * nb
-                           + dim * q + q + dim))
+    T = _pick_tile(P, _volume_lane_cost(nb, dim, q, C))
     assert T is not None, "no valid lane tile (P not divisible by 128?)"
 
     def kernel(p_ref, w_ref, e_ref, out_ref):
-        wq = w_ref[:, :]
-        pts_ = [p_ref[d] for d in range(dim)]
         iex = [e_ref[d:d + 1, :] for d in range(dim)]
-        _, G = _basis_slabs(pts_, E, degree, iex, jnp)
+        acc = [[None] * nb for _ in range(nb)]
+        for c in range(C):
+            wq = w_ref[c]  # [q, T]
+            pts_ = [p_ref[c, :, d, :] for d in range(dim)]
+            _, G = _basis_slabs(pts_, E, degree, iex, jnp)
+            for i in range(nb):
+                for j in range(nb):
+                    term = jnp.sum(
+                        sum(G[i][d] * G[j][d] for d in range(dim)) * wq,
+                        axis=0, keepdims=True)
+                    acc[i][j] = term if acc[i][j] is None \
+                        else acc[i][j] + term
         for i in range(nb):
             for j in range(nb):
-                acc = sum(G[i][d] * G[j][d] for d in range(dim)) * wq
-                out_ref[i * nb + j:i * nb + j + 1, :] = jnp.sum(
-                    acc, axis=0, keepdims=True)
+                out_ref[i * nb + j:i * nb + j + 1, :] = acc[i][j]
 
     vm = pltpu.VMEM
     out = pl.pallas_call(
@@ -310,8 +354,9 @@ def _volume_impl(pts, w, inv_ext, degree, dim, q, interpret):
         out_shape=jax.ShapeDtypeStruct((nb * nb, P), jnp.float32),
         grid=(P // T,),
         in_specs=[
-            pl.BlockSpec((dim, q, T), lambda t: (0, 0, t), memory_space=vm),
-            pl.BlockSpec((q, T), lambda t: (0, t), memory_space=vm),
+            pl.BlockSpec((C, q, dim, T), lambda t: (0, 0, 0, t),
+                         memory_space=vm),
+            pl.BlockSpec((C, q, T), lambda t: (0, 0, t), memory_space=vm),
             pl.BlockSpec((dim, T), lambda t: (0, t), memory_space=vm),
         ],
         out_specs=pl.BlockSpec((nb * nb, T), lambda t: (0, t),
@@ -322,11 +367,12 @@ def _volume_impl(pts, w, inv_ext, degree, dim, q, interpret):
 
 
 def volume_blocks_pallas(vol, ext_t, degree, dim, *, interpret=False):
-    """Stiffness diagonal blocks [nb*nb, P] for the C=1 volume group."""
+    """Stiffness diagonal blocks [nb*nb, P] for the padded volume group
+    ([C, q, d, P] tables; padded cells carry zero weights)."""
     import jax.numpy as jnp
 
-    q = vol["w"].shape[1]
-    pts = jnp.transpose(vol["pts"][0], (1, 0, 2)).astype(jnp.float32)
-    w = vol["w"][0].astype(jnp.float32)
+    C, q = vol["w"].shape[0], vol["w"].shape[1]
+    pts = vol["pts"].astype(jnp.float32)  # [C, q, d, P]
+    w = vol["w"].astype(jnp.float32)
     inv = (1.0 / ext_t).astype(jnp.float32)
-    return _volume_impl(pts, w, inv, degree, dim, q, interpret)
+    return _volume_impl(pts, w, inv, degree, dim, q, C, interpret)

@@ -251,3 +251,90 @@ def test_h_orthogonal_penalty_ab():
         l2, _ = compute_global_error(ah, res.x, u_ex)
         errs.append(float(l2))
     assert max(errs) < 1e-9  # linear exactness holds under both scalings
+
+
+# -------------------------------------------------- exact geometry
+
+
+def test_h_orthogonal_exact_golden_values():
+    """Exact ray-shooting h_perp reproduces the reference's golden
+    values (test/polydeal/h_orthogonal.cc + .output): unit hyper_cube
+    (2D and 3D) as one polytope -> h = 1 on every boundary face; a 1x2
+    rectangle -> 2 from the short sides, 1 from the long sides."""
+    from polydeal_tpu.metrics import face_h_orthogonal
+
+    # 2D unit square, single polytope
+    m = pd.hyper_cube(2, 4)
+    ah = pd.AgglomerationHandler(m, np.zeros(m.n_cells, dtype=np.int64),
+                                 degree=1)
+    h = face_h_orthogonal(ah, method="exact")
+    assert np.allclose(h, 1.0, atol=1e-13)
+
+    # 3D unit cube, single polytope
+    m3 = pd.hyper_cube(3, 2)
+    ah3 = pd.AgglomerationHandler(m3, np.zeros(m3.n_cells, dtype=np.int64),
+                                  degree=1)
+    h3 = face_h_orthogonal(ah3, method="exact")
+    assert np.allclose(h3, 1.0, atol=1e-13)
+
+    # 1x2 rectangle: depth along y = 2, along x = 1
+    from polydeal_tpu.mesh.fine_mesh import hyper_rectangle
+
+    mr = hyper_rectangle(2, [2, 4], hi=[1.0, 2.0])
+    ahr = pd.AgglomerationHandler(mr, np.zeros(mr.n_cells, dtype=np.int64),
+                                  degree=1)
+    ft = ahr.faces
+    hr = face_h_orthogonal(ahr, method="exact")
+    nbar = ft.normals.mean(axis=1)
+    along_y = np.abs(nbar[:, 1]) > 0.5
+    assert np.allclose(hr[along_y], 2.0, atol=1e-13)
+    assert np.allclose(hr[~along_y], 1.0, atol=1e-13)
+
+
+def test_h_orthogonal_exact_interior_quadrants():
+    """4-quadrant agglomeration of the unit square: every interior
+    polytopal face has exact depth 0.5 on both sides; the sampled
+    variant underestimates (quadrature points only)."""
+    ah = quad_handler(4, degree=2)
+    exact = compute_h_orthogonal(ah, method="exact")
+    sampled = compute_h_orthogonal(ah)
+    for k, v in exact.items():
+        if k[1] >= 0:
+            assert v == pytest.approx(0.5, abs=1e-13), k
+            assert sampled[k] <= v + 1e-12
+
+
+def test_inscribed_circle_exact():
+    """Exact 2D inscribed radius: 0.5 for the unit square (one
+    polytope), 0.25 for a 1 x 0.5 rectangle; circle_ratio uses
+    r_circ = diameter/2 (reference agglomeration_accessor.h:583-599)."""
+    m = pd.hyper_cube(2, 4)
+    ah = pd.AgglomerationHandler(m, np.zeros(m.n_cells, dtype=np.int64),
+                                 degree=1)
+    q = compute_quality_metrics(ah, method="exact")
+    assert q["circle_ratio"][0] == pytest.approx(0.5 / (np.sqrt(2) / 2),
+                                                 abs=1e-9)
+    assert q["uniformity_factor"][0] == 1.0
+    assert q["coverage"] == pytest.approx(1.0, abs=1e-12)
+
+    from polydeal_tpu.mesh.fine_mesh import hyper_rectangle
+
+    mr = hyper_rectangle(2, [4, 2], hi=[1.0, 0.5])
+    ahr = pd.AgglomerationHandler(mr, np.zeros(mr.n_cells, dtype=np.int64),
+                                  degree=1)
+    qr = compute_quality_metrics(ahr, method="exact")
+    r_circ = 0.5 * np.sqrt(1.0 + 0.25)
+    assert qr["circle_ratio"][0] == pytest.approx(0.25 / r_circ, abs=1e-9)
+
+    # sampled vs exact on a real R-tree agglomeration: exact >= sampled
+    # up to round-off (sampling can only underestimate the inscribed
+    # radius is false in general -- centroid-to-quadrature min can be
+    # either side -- but both must agree within the fine cell size)
+    mesh = pd.hyper_cube(2, 8)
+    agg = RTreeAgglomerator.build(mesh.cell_centers())
+    ah2 = pd.AgglomerationHandler(mesh, agg.extract_agglomerates(2),
+                                  degree=1)
+    qe = compute_quality_metrics(ah2, method="exact")
+    qs = compute_quality_metrics(ah2)
+    assert np.all(np.abs(qe["circle_ratio"] - qs["circle_ratio"]) < 0.5)
+    assert np.all(qe["circle_ratio"] > 0.2)
