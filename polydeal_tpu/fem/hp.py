@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["build_hp_poisson", "solve_hp_dense", "hp_l2_error"]
+__all__ = ["build_hp_poisson", "solve_hp_dense", "hp_l2_error",
+           "interpolate_hp_to_fine_grid"]
 
 
 def build_hp_poisson(ah, degrees, f_fn, g_fn=None):
@@ -131,6 +132,26 @@ def solve_hp_dense(space, op, rhs):
     import jax.numpy as jnp
 
     return jnp.linalg.solve(op.to_dense(), rhs)
+
+
+def interpolate_hp_to_fine_grid(space, ah, x, degree: int | None = None,
+                                family: str = "dgq"):
+    """Interpolate an hp solution to one fine-grid space: sum of the
+    per-bucket field interpolations (each is zero outside its bucket's
+    polytopes).  The target degree defaults to the max bucket degree —
+    the reference's hp ``interpolate_to_fine_grid``
+    (poly_utils.h:1322-1458) with the FECollection replaced by degree
+    buckets.  Returns [n_cells, n_fine_basis]."""
+    from polydeal_tpu.postprocess import interpolate_field_to_fine_grid
+
+    if degree is None:
+        degree = max(f.basis.degree for f in space.fields.values())
+    total = None
+    for name in space.fields:
+        v = interpolate_field_to_fine_grid(space, ah, x, name,
+                                           degree=degree, family=family)
+        total = v if total is None else total + v
+    return total[:, 0]
 
 
 def hp_l2_error(ah, space, degrees, x, exact_fn):

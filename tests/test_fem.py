@@ -155,3 +155,35 @@ def test_hp_two_degree_exactness():
     x3 = solve_hp_dense(space3, op3, rhs3)
     err3 = hp_l2_error(ah, space3, degrees, x3, u_quad)
     assert 1e-9 < err3 < 0.05, err3
+
+
+def test_hp_interpolate_to_fine():
+    """The two-degree hp solution interpolates to a fine DGQ space and
+    reproduces the exact linear nodally (reference hp
+    interpolate_to_fine_grid, poly_utils.h:1322-1458)."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.agglomeration import RTreeAgglomerator
+    from polydeal_tpu.fem.basis import _gauss_lobatto_01, make_basis
+    from polydeal_tpu.fem.hp import (build_hp_poisson,
+                                     interpolate_hp_to_fine_grid,
+                                     solve_hp_dense)
+
+    mesh = pd.hyper_cube(2, 8)
+    agg = RTreeAgglomerator.build(mesh.cell_centers())
+    c2p = agg.extract_agglomerates(2)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=1)
+    cx = np.zeros(ah.n_poly)
+    np.add.at(cx, c2p, mesh.cell_centers()[:, 0])
+    cx /= np.bincount(c2p)
+    degrees = np.where(cx < 0.5, 1, 2)
+    u_lin = lambda x: 1.0 + 2 * x[..., 0] - x[..., 1]
+    space, op, rhs = build_hp_poisson(
+        ah, degrees, f_fn=lambda x: jnp.zeros(x.shape[:-1]), g_fn=u_lin)
+    x = solve_hp_dense(space, op, rhs)
+    vals = interpolate_hp_to_fine_grid(space, ah, x)  # [n_c, (p+1)^2]
+    nodes1d = _gauss_lobatto_01(3)  # target degree = max bucket = 2
+    E = make_basis("dgq", 2, 2).exponents
+    unit = np.stack([nodes1d[E[:, d]] for d in range(2)], axis=-1)
+    pts = mesh.map_points(unit)
+    exact = u_lin(jnp.asarray(pts))
+    assert float(jnp.abs(vals - exact).max()) < 1e-10
