@@ -55,6 +55,14 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
 
     dtype = jnp.float32
     mesh = pd.hyper_cube(3, n)
+    # level trimming: keep only the last BENCH_TRIM extraction levels
+    # below the fine DG level (0 = full hierarchy).  The dropped tiny
+    # levels cost more in sequential small-op latency than their
+    # smoothing helps; the bigger coarsest level is solved directly via
+    # the explicit-inverse matmul (BENCH_COARSE_SOLVER=inv) which is
+    # MXU-bound instead of the TRSM latency-bound lu_solve.
+    trim = int(os.environ.get("BENCH_TRIM", "3"))
+    coarse_solver = os.environ.get("BENCH_COARSE_SOLVER", "inv")
     if hierarchy == "rtree":
         # the general R3MG path: STR R-tree hierarchy, SFC-rank ordering
         # (37 band offsets) -> per-lane PACKED format (K = 7 slots)
@@ -62,14 +70,16 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         from polydeal_tpu.solvers import build_rtree_hierarchy
 
         agg = RTreeAgglomerator.build(mesh.cell_centers())
+        lv0 = 1 if trim <= 0 else max(1, agg.n_levels - 1 - trim)
         handlers, parents = build_rtree_hierarchy(
-            mesh, agg, list(range(1, agg.n_levels - 1)), degree=degree)
+            mesh, agg, list(range(lv0, agg.n_levels - 1)), degree=degree)
         grid_shapes = None
     else:
         # structured fast path: lexicographic levels -> 7 banded offsets
         # + reshape transfers
+        cside = 2 if trim <= 0 else max(2, n >> trim)
         handlers, parents, grid_shapes = build_structured_hierarchy(
-            mesh, n, degree=degree)
+            mesh, n, degree=degree, coarsest_side=cside)
     ah = handlers[-1]
 
     u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
@@ -89,7 +99,8 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
     mg = build_multigrid(handlers, parents, A0, dtype=dtype,
                          grid_shapes=grid_shapes,
                          chebyshev_degree=cheb_deg, n_smooth=n_smooth,
-                         precond_dtype=pdt, level_assembly="banded")
+                         precond_dtype=pdt, level_assembly="banded",
+                         coarse_solver=coarse_solver)
 
     packed = hierarchy == "rtree"
     if packed:
@@ -153,6 +164,8 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         iterations=int(res.iterations),
         residual=float(res.residual),
         elapsed_s=round(elapsed, 4),
+        level_sizes=[int(h.n_poly) for h in handlers],
+        coarse_solver=coarse_solver,
     )
     del mg, groups, A0, res
     gc.collect()

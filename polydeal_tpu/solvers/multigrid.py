@@ -420,6 +420,13 @@ class Multigrid:
     transfers: list  # list[Transfer], transfers[l]: level l <- l+1
     n_smooth: int = 5
     chebyshev_degree: int = 3
+    # coarse direct solve (Utils::MGCoarseDirect analogue).  A 2-tuple
+    # (lu, piv) applies lu_solve (two TRIANGULAR solves — sequential and
+    # latency-bound on TPU: ~6 ms at 2048 dofs); a 1-tuple (Ainv,) stores
+    # the explicit dense inverse and applies ONE matmul (MXU-friendly,
+    # ~us at the same size).  The inverse is exact enough for a
+    # preconditioner component at any coarse size we use; pick via
+    # Multigrid.setup(coarse_solver='inv'|'lu').
     coarse_lu: tuple | None = None
     ells: list = field(default_factory=list)  # Banded/ELL per level (hot SpMV)
     dinvs_t: list = field(default_factory=list)  # [nb,P] per level (or flat)
@@ -454,6 +461,7 @@ class Multigrid:
         smoothing_range: float = 15.0,
         precond_dtype=None,
         fine_op=None,
+        coarse_solver: str = "lu",
     ) -> "Multigrid":
         """``fine_op`` (a matrix-free operator with apply/diagonal, e.g.
         MatrixFreeLaplace) replaces the finest assembled level; pass
@@ -506,7 +514,10 @@ class Multigrid:
                         dtype=Ae.data.dtype,
                     )
                 )
-            lu = jax.scipy.linalg.lu_factor(A0.to_dense())
+            if coarse_solver == "inv":
+                lu = (jnp.linalg.inv(A0.to_dense()),)
+            else:
+                lu = jax.scipy.linalg.lu_factor(A0.to_dense())
             dinvs = [None] + [
                 (1.0 / Ae.diagonal_t() if hasattr(Ae, "diagonal_t")
                  else 1.0 / Ae.diagonal()) for Ae in ells[1:]
@@ -570,10 +581,14 @@ class Multigrid:
         conversions happen only at mixed-level boundaries."""
         if level == 0:
             bl = b.astype(self.coarse_lu[0].dtype)
+            if len(self.coarse_lu) == 1:  # explicit inverse: one matmul
+                solve = lambda v: self.coarse_lu[0] @ v
+            else:
+                solve = lambda v: jax.scipy.linalg.lu_solve(self.coarse_lu, v)
             if b.ndim == 2:
-                x = jax.scipy.linalg.lu_solve(self.coarse_lu, bl.T.reshape(-1))
+                x = solve(bl.T.reshape(-1))
                 return x.reshape(-1, b.shape[0]).T.astype(b.dtype)
-            return jax.scipy.linalg.lu_solve(self.coarse_lu, bl).astype(b.dtype)
+            return solve(bl).astype(b.dtype)
         use_lo = self.lo_ells is not None
         A = (self.lo_ells if use_lo else self.ells)[level]
         is_t = b.ndim == 2
@@ -701,6 +716,7 @@ def build_multigrid(
     pack: bool | None = None,
     pack_near_limit: int | None = None,
     device_mesh=None,
+    coarse_solver: str = "lu",
 ) -> Multigrid:
     """Assemble the full MG preconditioner from a handler chain and the
     finest-level matrix.
@@ -826,4 +842,5 @@ def build_multigrid(
     return Multigrid.setup(matrices, transfers,
                            chebyshev_degree=chebyshev_degree,
                            n_smooth=n_smooth, smoothing_range=smoothing_range,
-                           precond_dtype=precond_dtype, fine_op=fine_op)
+                           precond_dtype=precond_dtype, fine_op=fine_op,
+                           coarse_solver=coarse_solver)

@@ -213,3 +213,22 @@ def test_packed_level_mg_matches():
     rb = mg_b.solve_cg(b, rtol=1e-9)
     assert abs(int(ra.iterations) - int(rb.iterations)) <= 1
     assert np.allclose(np.asarray(ra.x), np.asarray(rb.x), atol=1e-7)
+
+
+def test_coarse_solver_inv_matches_lu():
+    """The explicit-inverse coarse solve (one MXU matmul instead of the
+    TPU-latency-bound triangular solves; Utils::MGCoarseDirect analogue,
+    reference utils.h:286-350) must reproduce the LU path: same CG
+    iteration count, same solution."""
+    handlers, parents = make_hierarchy(n=16, degree=1, dim=2, start=2)
+    ah = handlers[-1]
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    A = assemble_sipg_matrix(ah)
+    b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    mg_lu = build_multigrid(handlers, parents, A, coarse_solver="lu")
+    mg_inv = build_multigrid(handlers, parents, A, coarse_solver="inv")
+    assert len(mg_lu.coarse_lu) == 2 and len(mg_inv.coarse_lu) == 1
+    ra = mg_lu.solve_cg(b, rtol=1e-10)
+    rb = mg_inv.solve_cg(b, rtol=1e-10)
+    assert int(ra.iterations) == int(rb.iterations)
+    assert np.allclose(np.asarray(ra.x), np.asarray(rb.x), atol=1e-9)
