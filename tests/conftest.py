@@ -37,3 +37,23 @@ if _cache_dir:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """XLA:CPU's JIT intermittently segfaults in backend_compile_and_load
+    once enough compiled executables have accumulated in-process (seen
+    deterministically at the 12th test of test_multigrid.py, jax 0.9.0).
+    Dropping the tracing/executable caches between tests keeps the
+    compiler state small; tests do not share jitted callables, so the
+    only cost is re-tracing of helper closures."""
+    yield
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
