@@ -132,6 +132,8 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
 
     mg.ells[-1] = _strip(mg.ells[-1])
 
+    fmg = os.environ.get("BENCH_FMG", "1") == "1"
+
     @jax.jit
     def assemble_and_solve(tabs, m, scale):
         A_band = assemble_sipg_banded_direct(ah, tabs, offsets=band_offsets)
@@ -143,7 +145,7 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
             m.ells[-1] = A_band.to_packed(plan, oid_dev)
         else:
             m.ells[-1] = A_band.with_imajor(drop_omajor=True)
-        return m.solve_cg(b, rtol=rtol, maxiter=100)
+        return m.solve_cg(b, rtol=rtol, maxiter=100, fmg=fmg)
 
     _log(f"bench[{hierarchy}]: setup built, compiling fused program...")
     res = assemble_and_solve(groups, mg, jnp.float32(1.0))
@@ -166,6 +168,7 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         elapsed_s=round(elapsed, 4),
         level_sizes=[int(h.n_poly) for h in handlers],
         coarse_solver=coarse_solver,
+        fmg=fmg,
     )
     del mg, groups, A0, res
     gc.collect()

@@ -200,20 +200,27 @@ def _packed_matvec_impl(data_i, oid, xpad, xfar, plan: PackPlan, interpret):
     assert T is not None
     far = [o for o in plan.offsets if abs(o) > T]
     far_idx = {o: k for k, o in enumerate(far)}
-    acc_t = xpad.dtype  # f32 on TPU; f64 parity in interpret/CPU mode
+    # windows/slot-selects run in the x dtype (bf16 x halves the padded/
+    # rolled copies' HBM traffic, which rivals the band's at wide
+    # offsets); products accumulate in f32 (f64 in interpret/CPU parity)
+    acc_t = jnp.float32 if xpad.dtype == jnp.bfloat16 else xpad.dtype
 
     def kernel(prev_ref, cur_ref, next_ref, far_ref, oid_ref, d_ref,
                out_ref):
         tiles = [prev_ref, cur_ref, next_ref]
 
         def window(off):
+            # tiles arrive in the x dtype (bf16 halves the HBM traffic of
+            # the padded/rolled copies); convert to the f32 accumulator
+            # dtype ON LOAD — Mosaic has no 16-bit lane rotate, and the
+            # convert is a VPU op on VMEM-resident data (free vs HBM)
             if off in far_idx:
-                return far_ref[far_idx[off]]
+                return far_ref[far_idx[off]].astype(acc_t)
             q, r = divmod(off, T)  # q in {-1, 0, 1}
-            a = tiles[q + 1][:, :]
+            a = tiles[q + 1][:, :].astype(acc_t)
             if r == 0:
                 return a
-            b = tiles[q + 2][:, :]
+            b = tiles[q + 2][:, :].astype(acc_t)
             # lane rotate by -r == +(T - r) (pltpu.roll wants shift >= 0)
             ar = pltpu.roll(a, T - r, axis=1)
             br = pltpu.roll(b, T - r, axis=1)
@@ -278,7 +285,10 @@ def packed_matvec_t(data_i, oid, plan: PackPlan, xt, *,
     P = data_i.shape[-1]
     T = pick_tile_packed(P, nb * plan.R_pad, data_i.dtype.itemsize)
     assert T is not None, "no valid lane tile for this P"
-    xin = xt if xt.dtype == jnp.float64 else xt.astype(jnp.float32)
+    # bf16 x stays bf16 end-to-end (the padded/rolled copies' traffic
+    # rivals the band's; accumulation inside the kernel is still f32)
+    xin = (xt if xt.dtype in (jnp.float64, jnp.bfloat16)
+           else xt.astype(jnp.float32))
     xpad = jnp.pad(xin, ((0, 0), (T, T)))
     far = [o for o in plan.offsets if abs(o) > T]
     if far:
@@ -313,7 +323,8 @@ def packed_matvec_t_halo(data_i, oid, plan: PackPlan, x_ext, *,
     assert x_ext.shape[-1] == P + 2 * T, "halo width must equal the tile"
     assert all(abs(o) <= T for o in plan.offsets), \
         "far offset in a sharded plan (repack with an explicit split)"
-    xin = x_ext if x_ext.dtype == jnp.float64 else x_ext.astype(jnp.float32)
+    xin = (x_ext if x_ext.dtype in (jnp.float64, jnp.bfloat16)
+           else x_ext.astype(jnp.float32))
     xfar = jnp.zeros((1,) + xin[:, :P].shape, dtype=xin.dtype)
     y = _packed_matvec_impl(data_i, oid, xin, xfar, plan, interpret)
     return y.astype(x_ext.dtype)

@@ -147,7 +147,7 @@ class ShardedBandedSystem:
     """
 
     def __init__(self, mesh, levels, params, rep_mg, nb, n_true_rows,
-                 chebyshev_degree, n_smooth):
+                 chebyshev_degree, n_smooth, lo_vec=None):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.levels = levels  # list[_SLevel], COARSEST-sharded .. finest
@@ -157,6 +157,11 @@ class ShardedBandedSystem:
         self.n_true_rows = n_true_rows
         self.chebyshev_degree = chebyshev_degree
         self.n_smooth = n_smooth
+        # V-cycle VECTOR dtype (None = operator dtype).  Mirrors
+        # Multigrid's precond_dtype policy: smoothing vectors (and hence
+        # the halo exchanges) run low-precision even where the level
+        # keeps an f32 band (packed kernels take bf16 x with f32 data).
+        self.lo_vec = lo_vec
 
     # ------------------------------------------------------------------
     @classmethod
@@ -240,17 +245,23 @@ class ShardedBandedSystem:
             pl_["dinv"] = (dinv if dinv.ndim == 2
                            else dinv.reshape(-1, ell.n_basis).T)
             # low-precision smoother copies (the preconditioner may be
-            # inexact — same policy as Multigrid.setup's precond_dtype)
+            # inexact — same policy as Multigrid.setup's precond_dtype).
+            # When the mg level kept full precision (e.g. packed levels,
+            # where the bf16 kernel measured slower), skip the copy — a
+            # same-dtype duplicate costs HBM and buys nothing.
             if mg.lo_ells is not None:
                 lo_dt = (mg.lo_ells[l].data_i.dtype
                          if hasattr(mg.lo_ells[l], "data_i")
                          and mg.lo_ells[l].data_i is not None
                          else mg.lo_ells[l].data.dtype)
-                if "data_i" in pl_:
-                    pl_["lo_data_i"] = pl_["data_i"].astype(lo_dt)
-                elif "band" in pl_:
-                    pl_["lo_band"] = pl_["band"].astype(lo_dt)
-                lv.has_lo = True
+                cur_dt = (pl_["data_i"].dtype if "data_i" in pl_
+                          else pl_["band"].dtype)
+                if lo_dt != cur_dt:
+                    if "data_i" in pl_:
+                        pl_["lo_data_i"] = pl_["data_i"].astype(lo_dt)
+                    elif "band" in pl_:
+                        pl_["lo_band"] = pl_["band"].astype(lo_dt)
+                    lv.has_lo = True
             # transfer into this level (from the coarser sharded level,
             # or from the replicated boundary — localized either way)
             if t.grid_shape is not None:
@@ -278,7 +289,9 @@ class ShardedBandedSystem:
         return cls(mesh, levels, params, rep,
                    nb=fine.n_basis, n_true_rows=fine.n_block_rows,
                    chebyshev_degree=mg.chebyshev_degree,
-                   n_smooth=mg.n_smooth)
+                   n_smooth=mg.n_smooth,
+                   lo_vec=(mg.lo_dinvs[-1].dtype
+                           if mg.lo_dinvs is not None else None))
 
     @staticmethod
     def _build_far(lv: _SLevel, pl_: dict, ell: BlockPacked, per: int,
@@ -355,8 +368,10 @@ class ShardedBandedSystem:
         if lv.kind == "packed":
             y = self._near_matvec(lv, pl_, x_ext, lo)
             if lv.has_far:
-                # far tail stays f32 (tiny data; not worth a lo copy)
-                y = y + self._far_matvec(lv, pl_, x_loc)
+                # far tail stays f32 (tiny data; not worth a lo copy);
+                # cast its contribution back so a bf16 sweep (lo_vec)
+                # is not silently promoted to f32 by the addition
+                y = y + self._far_matvec(lv, pl_, x_loc).astype(y.dtype)
             return y
         return self._near_matvec(lv, pl_, x_ext, lo)
 
@@ -427,7 +442,7 @@ class ShardedBandedSystem:
     def _smooth(self, lv: _SLevel, pl_, b_loc, x_loc):
         from polydeal_tpu.solvers.chebyshev import ChebyshevSmoother
 
-        dinv = pl_["dinv"]
+        dinv = pl_["dinv"].astype(b_loc.dtype)  # keep the sweep's dtype
         sm = ChebyshevSmoother(
             A=lambda v: self._matvec(lv, pl_, v, lo=True),
             Minv=lambda r: dinv * r,
@@ -472,6 +487,8 @@ class ShardedBandedSystem:
         """V-cycle over the sharded levels; li indexes self.levels."""
         lv = self.levels[li]
         pl_ = lv_params[li]
+        if self.lo_vec is not None:
+            b_loc = b_loc.astype(self.lo_vec)
         x = jnp.zeros_like(b_loc)
         x = self._smooth(lv, pl_, b_loc, x)
         r = b_loc - self._matvec(lv, pl_, x)
@@ -497,11 +514,46 @@ class ShardedBandedSystem:
                 per_c = rc_loc.shape[1]
                 xc = jax.lax.dynamic_slice_in_dim(xc_full, i * per_c,
                                                   per_c, 1)
-        x = x + self._prolong_loc(lv, pl_, xc)
+        # the f32 transfer einsum upcasts the correction — drop back to
+        # the smoothing dtype so the POST-smooth also runs low-precision
+        x = (x + self._prolong_loc(lv, pl_, xc)).astype(b_loc.dtype)
         x = self._smooth(lv, pl_, b_loc, x)
         return x
 
     # ------------------------------------------------------------------
+    def v_cycle(self, b):
+        """One sharded V-cycle (the CG preconditioner M) on a flat rhs.
+
+        Exposed for testing/inspection — ``solve_cg`` fuses the cycle
+        into its CG loop.  Notably this compiles WITHOUT a while_loop:
+        XLA:CPU's bf16 emulation makes bf16-heavy while-loop bodies
+        pathologically slow to compile, so CPU tests certify the bf16
+        preconditioner through this entry point instead of a full solve.
+        """
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        key = "v_cycle"
+        if key not in cache:
+            n_levels = len(self.levels)
+            rep_specs = jax.tree.map(lambda _: P(), self.rep_mg)
+            nb = self.nb
+
+            @partial(
+                jax.shard_map,
+                mesh=self.mesh,
+                in_specs=(P(self.axis), self._specs(), rep_specs),
+                out_specs=P(self.axis),
+                check_vma=False,
+            )
+            def run(b_flat, lv, rep_mg):
+                b_loc = b_flat.reshape(-1, nb).T
+                y = self._cycle(lv, rep_mg, n_levels - 1, b_loc)
+                return y.astype(b_loc.dtype).T.reshape(-1)
+
+            cache[key] = jax.jit(run)
+        return cache[key](jnp.asarray(b), self.params, self.rep_mg)
+
     def solve_cg(self, b, rtol: float = 1e-9, maxiter: int = 100,
                  precondition: bool = True):
         """SPMD MG-CG in the transposed lane-aligned layout throughout.
@@ -546,7 +598,10 @@ class ShardedBandedSystem:
             def M(r):
                 if not precondition:
                     return r
-                return self._cycle(lv, rep_mg, n_levels - 1, r)
+                # CG itself stays full-precision; only the (inexact)
+                # preconditioner runs in lo_vec
+                return self._cycle(lv, rep_mg, n_levels - 1, r
+                                   ).astype(r.dtype)
 
             x = jnp.zeros_like(b_loc)
             r = b_loc

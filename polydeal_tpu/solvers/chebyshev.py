@@ -54,16 +54,23 @@ class ChebyshevSmoother:
         delta = 0.5 * (self.hi - self.lo)
         sigma = theta / delta
 
+        # the recurrence scalars stay full-precision, but are CAST to the
+        # vector dtype before touching the vectors: an f32 scalar would
+        # silently promote a bf16 sweep to f32 (dtype promotion), undoing
+        # the low-precision smoother's bandwidth saving
+        def cast(s):
+            return jnp.asarray(s).astype(b.dtype)
+
         r = b - self.A(x)
         z = self.Minv(r)
-        d = z / theta
+        d = z * cast(1.0 / theta)
         x = x + d
         rho_old = 1.0 / sigma
         for _ in range(self.degree - 1):
             rho = 1.0 / (2.0 * sigma - rho_old)
             r = b - self.A(x)
             z = self.Minv(r)
-            d = (rho * rho_old) * d + (2.0 * rho / delta) * z
+            d = cast(rho * rho_old) * d + cast(2.0 * rho / delta) * z
             x = x + d
             rho_old = rho
         return x

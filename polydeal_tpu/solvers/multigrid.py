@@ -531,10 +531,6 @@ class Multigrid:
         if precond_dtype is not None:
 
             def _lo(e):
-                if isinstance(e, MatrixFreeLevel):
-                    return e  # matrix-free preconditioner stays f32
-                if isinstance(e, _BP):
-                    return e.astype(precond_dtype)
                 if isinstance(e, BlockBanded):
                     lo = BlockBanded(e.data.astype(precond_dtype),
                                      e.offsets, e.n_block_cols)
@@ -542,7 +538,14 @@ class Multigrid:
                 return type(e)(data=e.data.astype(precond_dtype),
                                cols=e.cols, n_block_cols=e.n_block_cols)
 
-            lo_ells = [jax.jit(_lo)(e) for e in ells]
+            # Matrix-free levels stay f32; packed levels reuse the f32
+            # operator OBJECT (measured on v5e: the bf16 packed kernel is
+            # ~1.7x SLOWER than f32 — Mosaic 16-bit lane handling — so a
+            # low-precision copy loses twice, time and a duplicate band).
+            # The identity cases must bypass jit: jit re-materializes its
+            # output, which would silently duplicate the band in HBM.
+            lo_ells = [e if isinstance(e, (MatrixFreeLevel, _BP))
+                       else jax.jit(_lo)(e) for e in ells]
             lo_dinvs = [None] + [d.astype(precond_dtype) for d in dinvs[1:]]
         return cls(
             matrices=matrices,
@@ -593,7 +596,13 @@ class Multigrid:
         A = (self.lo_ells if use_lo else self.ells)[level]
         is_t = b.ndim == 2
         if use_lo:
-            b = b.astype(A.data.dtype)
+            # smoothing runs in the PRECOND dtype (lo_dinvs carries it)
+            # even when the level operator keeps an f32 band: the packed
+            # kernel takes bf16 x with an f32 band (accumulating f32),
+            # and x-side traffic — the padded/rolled copies — is what
+            # the low-precision smoother saves (measured 0.36 vs 0.58 ms
+            # per 1M-DoF packed SpMV on v5e)
+            b = b.astype(self.lo_dinvs[level].dtype)
         mv = A.matvec_t if is_t else A.matvec
         dinv = (self.lo_dinvs if use_lo else self.dinvs_t)[level]
         if not is_t and dinv.ndim == 2:
@@ -621,6 +630,9 @@ class Multigrid:
         else:
             xcf = xc.T.reshape(-1) if xc.ndim == 2 else xc
             x = x + t.prolong(xcf)
+        # the f32 transfer einsum upcasts the correction — drop back to
+        # the smoothing dtype so the POST-smooth also runs low-precision
+        x = x.astype(b.dtype)
         for _ in range(self.n_smooth):
             x = sm(b, x)
         return x
@@ -629,28 +641,80 @@ class Multigrid:
         rc = t.restrict(r_t.T.reshape(-1))
         return rc
 
+    def fmg_guess(self, b) -> jnp.ndarray:
+        """Full-multigrid initial guess: restrict b to every level, solve
+        the coarsest directly, then prolong upward applying one V-cycle
+        defect correction per level.  Costs ~2 fine V-cycles and starts
+        CG several orders of magnitude closer, typically a net win in
+        iterations (``solve_cg(fmg=True)``).  The reference runs plain
+        V-cycle-preconditioned CG (examples/agglo_amg.cc:1408-1420);
+        FMG is an improvement over it, off by default for parity.
+
+        ``b`` is in the FINE level's layout ([nb, P] transposed when the
+        fine level supports it, flat otherwise), as inside solve_cg."""
+        top = self.n_levels - 1
+        bs = [None] * self.n_levels
+        bs[top] = b
+        for level in range(top, 0, -1):
+            bl = bs[level]
+            t = self.transfers[level - 1]
+            down_t = self._is_t(level - 1) and (
+                t._uniform_C > 0 or t.grid_shape is not None)
+            if bl.ndim == 2:
+                rc = (t.restrict_t(bl) if down_t
+                      else self._from_t_restrict(t, bl))
+            else:
+                rc = t.restrict(bl)
+                if down_t:
+                    rc = self._to_t(level - 1, rc)
+            bs[level - 1] = rc
+        x = self._cycle(0, bs[0])
+        for level in range(1, self.n_levels):
+            t = self.transfers[level - 1]
+            bl = bs[level]
+            if bl.ndim == 2:
+                x = (t.prolong_t(x) if x.ndim == 2
+                     else self._to_t(level, t.prolong(x)))
+            else:
+                x = t.prolong(x.T.reshape(-1) if x.ndim == 2 else x)
+            # one V-cycle defect correction; the residual uses the TRUE
+            # (full-precision) level operator, like CG's outer loop
+            A = self.ells[level]
+            mv = A.matvec_t if bl.ndim == 2 else A.matvec
+            x = x.astype(bl.dtype)
+            r = bl - mv(x)
+            x = x + self._cycle(level, r).astype(x.dtype)
+        return x
+
     def v_cycle(self, b: jnp.ndarray) -> jnp.ndarray:
-        """One V-cycle on the finest level (use as CG preconditioner)."""
+        """One V-cycle on the finest level (use as CG preconditioner).
+        The output is cast back to ``b``'s dtype: with ``precond_dtype``
+        the cycle smooths in low precision internally."""
         top = self.n_levels - 1
         if self._is_t(top):
             bt = self._to_t(top, b)
-            return self._cycle(top, bt).T.reshape(-1)
-        return self._cycle(top, b)
+            return self._cycle(top, bt).astype(b.dtype).T.reshape(-1)
+        return self._cycle(top, b).astype(b.dtype)
 
     def solve_cg(self, b: jnp.ndarray, rtol: float = 1e-9,
-                 maxiter: int = 200) -> CGResult:
+                 maxiter: int = 200, fmg: bool = False) -> CGResult:
         """MG-preconditioned CG; runs entirely in the lane-aligned
-        transposed layout when the fine level supports it."""
+        transposed layout when the fine level supports it.  With
+        ``fmg=True`` CG starts from a full-multigrid initial guess
+        (see :meth:`fmg_guess`) instead of zero."""
         top = self.n_levels - 1
         A = self.ells[top]
         if self._is_t(top):
             bt = self._to_t(top, b)
-            res = cg_solve(A.matvec_t, bt,
+            x0 = self.fmg_guess(bt) if fmg else None
+            res = cg_solve(A.matvec_t, bt, x0=x0,
                            M=lambda r: self._cycle(top, r).astype(r.dtype),
                            rtol=rtol, maxiter=maxiter)
             return CGResult(x=res.x.T.reshape(-1), iterations=res.iterations,
                             residual=res.residual)
-        return cg_solve(A.matvec, b, M=self.v_cycle, rtol=rtol, maxiter=maxiter)
+        x0 = self.fmg_guess(b) if fmg else None
+        return cg_solve(A.matvec, b, x0=x0, M=self.v_cycle,
+                        rtol=rtol, maxiter=maxiter)
 
 
 def maybe_pack_level(h, A, pack: bool | None = None, min_P: int = 4096,

@@ -232,3 +232,97 @@ def test_coarse_solver_inv_matches_lu():
     rb = mg_inv.solve_cg(b, rtol=1e-10)
     assert int(ra.iterations) == int(rb.iterations)
     assert np.allclose(np.asarray(ra.x), np.asarray(rb.x), atol=1e-9)
+
+
+def test_precond_dtype_low_precision_converges():
+    """precond_dtype (the bench runs bf16 on TPU): low-precision V-cycle
+    vectors + smoother copies, full-precision CG operator.  The CG
+    solve must still reach the tight tolerance — the preconditioner may
+    be inexact, CG stays full-precision.  Covers both the banded and
+    the packed fine level.
+
+    CPU CI exercises the machinery with precond_dtype=float32 against
+    the f64 operator (a genuinely inexact preconditioner): XLA:CPU's
+    bf16 EMULATION makes bf16-heavy bodies pathologically slow to
+    compile (>30 min observed for one V-cycle), so bf16 numerics proper
+    are certified on real TPU hardware by bench.py (which solves to
+    1e-8 with precond_dtype=bfloat16 every round).  The bf16 wiring
+    (copies, dtypes, packed-level object reuse) is asserted here
+    without executing bf16 code."""
+    import jax.numpy as jnp
+
+    handlers, parents = make_hierarchy(n=16, degree=1, dim=2, start=1)
+    ah = handlers[-1]
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    A = assemble_sipg_matrix(ah)
+    b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    ref = build_multigrid(handlers, parents, A,
+                          level_assembly="banded").solve_cg(b, rtol=1e-9)
+    # packing engages on a BlockBanded fine level (maybe_pack_level)
+    from polydeal_tpu.sparse import BlockPacked
+    from polydeal_tpu.assembly.sipg import (
+        assemble_sipg_banded_direct, build_banded_groups)
+
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
+    offs = np.unique(np.concatenate([diffs, -diffs,
+                                     np.zeros(1, dtype=np.int64)]))
+    A_band = assemble_sipg_banded_direct(
+        ah, build_banded_groups(ah, offs, jnp.float64), offsets=offs,
+        use_pallas=False)
+    for pack in (False, True):
+        # bf16 wiring (no execution — see docstring)
+        mg16 = build_multigrid(handlers, parents, A_band if pack else A,
+                               level_assembly="banded",
+                               pack=pack, precond_dtype=jnp.bfloat16)
+        assert mg16.lo_ells is not None
+        assert mg16.lo_dinvs[-1].dtype == jnp.bfloat16
+        if pack:
+            # packed levels must REUSE the full-precision operator object
+            # (bf16 packed kernel measured slower on v5e; no dup band)
+            assert isinstance(mg16.ells[-1], BlockPacked)
+            assert mg16.lo_ells[-1] is mg16.ells[-1]
+        else:
+            assert mg16.lo_ells[-1].data.dtype == jnp.bfloat16
+        del mg16
+        # f32-precond solve: the same lo-policy code paths, executable
+        # on CPU at normal compile cost
+        mg = build_multigrid(handlers, parents, A_band if pack else A,
+                             level_assembly="banded",
+                             pack=pack, precond_dtype=jnp.float32)
+        res = mg.solve_cg(b, rtol=1e-9)
+        assert float(res.residual) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
+        # an inexact (f32) preconditioner may cost a few extra CG
+        # iterations, never multiples
+        assert int(res.iterations) <= int(ref.iterations) + 4
+        assert np.allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-7)
+
+
+def test_fmg_initial_guess():
+    """solve_cg(fmg=True) — FMG restrict/solve/prolong-correct initial
+    guess — must reach the same tight tolerance and solution with FEWER
+    CG iterations than the zero start, on both the rtree (packed/banded)
+    and structured layouts."""
+    from polydeal_tpu.solvers import build_structured_hierarchy
+
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+
+    def run(handlers, parents, gs):
+        ah = handlers[-1]
+        A = assemble_sipg_matrix(ah)
+        b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+        mg = build_multigrid(handlers, parents, A, grid_shapes=gs,
+                             level_assembly="banded")
+        r0 = mg.solve_cg(b, rtol=1e-9)
+        r1 = mg.solve_cg(b, rtol=1e-9, fmg=True)
+        nb = float(jnp.linalg.norm(b))
+        assert float(r1.residual) <= 1e-9 * nb * 1.01
+        assert int(r1.iterations) < int(r0.iterations)
+        assert np.allclose(np.asarray(r1.x), np.asarray(r0.x), atol=1e-7)
+
+    handlers, parents = make_hierarchy(n=16, degree=1, dim=2, start=1)
+    run(handlers, parents, None)
+    mesh2 = pd.hyper_cube(2, 16)
+    handlers, parents, gs = build_structured_hierarchy(mesh2, 16, degree=1)
+    run(handlers, parents, gs)

@@ -107,15 +107,24 @@ log(f"coarse inv matmul ({binv.shape[0]}): {rate(lambda v: binv @ v, z0, k2=33)*
 
 log(f"full V-cycle: {rate(lambda v: mg.v_cycle(v), b, k1=1, k2=5)*1e3:.3f}ms")
 
-# assembly: force per-step dependency so scan can't CSE it
-def asm(c):
-    tabs = jax.tree.map(lambda a: a * (1.0 + 0.0 * c[0, 0]).astype(a.dtype)
-                        if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                        groups)
-    A = assemble_sipg_banded_direct(ah, tabs, offsets=offs)
-    return c + jnp.sum(A.data[:, :, :, :1]).astype(c.dtype)
+# assembly: tables as ARGUMENTS (closure constants overflow the remote
+# compiler), per-step carry dependency so scan can't CSE it
+def asm_chain(k):
+    @jax.jit
+    def run(c, tabs):
+        def body(cc, _):
+            t2 = jax.tree.map(
+                lambda a: a * (1.0 + 0.0 * cc[0, 0]).astype(a.dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, tabs)
+            A = assemble_sipg_banded_direct(ah, t2, offsets=offs)
+            return cc + jnp.sum(A.data[:, :, :, :1]).astype(cc.dtype), None
+        out, _ = jax.lax.scan(body, c, None, length=k)
+        return out
+    return run
 
-log(f"assembly (banded direct): {rate(asm, tiny, k1=1, k2=4)*1e3:.3f}ms")
+t1 = timeit(asm_chain(1), tiny, groups)
+t2 = timeit(asm_chain(4), tiny, groups)
+log(f"assembly (banded direct): {(t2-t1)/3*1e3:.3f}ms")
 
 sol = jax.jit(lambda bb: mg.solve_cg(bb, rtol=1e-8, maxiter=100))
 r = sol(b); float(jnp.sum(r.x))
