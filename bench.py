@@ -96,9 +96,20 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
     A0 = jax.jit(lambda t: assemble_sipg_banded_direct(
         ah, t, offsets=band_offsets))(groups)
     pdt = None if precond in ("", "none") else getattr(jnp, precond)
+
+    def _sched(v):
+        # "5" = every level; "5,2" = finest level 5, coarser levels 2
+        # (coarse levels are latency-bound — cheaper smoothing there
+        # shortens the V-cycle's sequential small-op chain)
+        if "," not in str(v):
+            return int(v)
+        fine, coarse = (int(x) for x in str(v).split(","))
+        return tuple([coarse] * (len(handlers) - 1) + [fine])
+
     mg = build_multigrid(handlers, parents, A0, dtype=dtype,
                          grid_shapes=grid_shapes,
-                         chebyshev_degree=cheb_deg, n_smooth=n_smooth,
+                         chebyshev_degree=_sched(cheb_deg),
+                         n_smooth=_sched(n_smooth),
                          precond_dtype=pdt, level_assembly="banded",
                          coarse_solver=coarse_solver)
 
@@ -225,8 +236,8 @@ def main():
     n = int(os.environ.get("BENCH_N", "64"))  # fine cells per direction
     degree = int(os.environ.get("BENCH_DEGREE", "1"))
     rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))
-    cheb_deg = int(os.environ.get("BENCH_CHEB_DEG", "5"))
-    n_smooth = int(os.environ.get("BENCH_NSMOOTH", "1"))
+    cheb_deg = os.environ.get("BENCH_CHEB_DEG", "5")  # "5" or "fine,coarse"
+    n_smooth = os.environ.get("BENCH_NSMOOTH", "1")
     precond = os.environ.get("BENCH_PRECOND_DTYPE", "bfloat16")
 
     import jax

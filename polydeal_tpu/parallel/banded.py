@@ -72,6 +72,9 @@ class _SLevel:
     uniform_C: int = 0
     grid_shape_loc: tuple | None = None
     has_lo: bool = False  # low-precision smoother copies present
+    # per-level smoother schedule (resolved from Multigrid's int-or-tuple)
+    deg: int = 3
+    ns: int = 5
 
 
 def _halo_bound(ell: "BlockPacked", per: int, on_tpu: bool) -> int | None:
@@ -224,6 +227,11 @@ class ShardedBandedSystem:
                 nb=ell.n_basis,
                 uniform_C=t._uniform_C,
                 grid_shape_loc=None,
+                deg=(mg.chebyshev_degree[l]
+                     if isinstance(mg.chebyshev_degree, tuple)
+                     else mg.chebyshev_degree),
+                ns=(mg.n_smooth[l] if isinstance(mg.n_smooth, tuple)
+                    else mg.n_smooth),
             )
             pl_ = {}
             if isinstance(ell, BlockPacked):
@@ -446,8 +454,8 @@ class ShardedBandedSystem:
         sm = ChebyshevSmoother(
             A=lambda v: self._matvec(lv, pl_, v, lo=True),
             Minv=lambda r: dinv * r,
-            lo=lv.lo, hi=lv.hi, degree=self.chebyshev_degree)
-        for _ in range(self.n_smooth):
+            lo=lv.lo, hi=lv.hi, degree=lv.deg)
+        for _ in range(lv.ns):
             x_loc = sm(b_loc, x_loc)
         return x_loc
 

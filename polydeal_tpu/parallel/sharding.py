@@ -279,10 +279,14 @@ class ShardedSystem:
         full = np.eye(Pc_pad, dtype=cdense.dtype)
         full[: cdense.shape[0], : cdense.shape[1]] = cdense
         coarse_lu = jax.scipy.linalg.lu_factor(jnp.asarray(full))
+        # this fallback path smooths every level identically; a per-level
+        # schedule collapses to its finest entry (the dominant level)
+        deg = mg.chebyshev_degree
+        ns = mg.n_smooth
         return cls(mesh, levels, params, coarse_lu,
                    n_true_rows=mg.matrices[-1].n_block_rows,
-                   chebyshev_degree=mg.chebyshev_degree,
-                   n_smooth=mg.n_smooth)
+                   chebyshev_degree=deg[-1] if isinstance(deg, tuple) else deg,
+                   n_smooth=ns[-1] if isinstance(ns, tuple) else ns)
 
     def _in_specs(self):
         """PartitionSpec tree matching self.params: everything sharded."""

@@ -418,8 +418,12 @@ class Multigrid:
 
     matrices: list  # list[BlockMatrix], coarse -> fine
     transfers: list  # list[Transfer], transfers[l]: level l <- l+1
-    n_smooth: int = 5
-    chebyshev_degree: int = 3
+    # int = same everywhere, or a per-level tuple (coarsest first, entry
+    # 0 unused — level 0 is the direct solve).  Coarse levels are
+    # latency-bound, not bandwidth-bound: cheaper smoothing there cuts
+    # the V-cycle's sequential small-op chain at near-zero iteration cost.
+    n_smooth: int | tuple = 5
+    chebyshev_degree: int | tuple = 3
     # coarse direct solve (Utils::MGCoarseDirect analogue).  A 2-tuple
     # (lu, piv) applies lu_solve (two TRIANGULAR solves — sequential and
     # latency-bound on TPU: ~6 ms at 2048 dofs); a 1-tuple (Ainv,) stores
@@ -456,8 +460,8 @@ class Multigrid:
         cls,
         matrices: list,
         transfers: list,
-        chebyshev_degree: int = 3,
-        n_smooth: int = 5,
+        chebyshev_degree: int | tuple = 3,
+        n_smooth: int | tuple = 5,
         smoothing_range: float = 15.0,
         precond_dtype=None,
         fine_op=None,
@@ -465,7 +469,23 @@ class Multigrid:
     ) -> "Multigrid":
         """``fine_op`` (a matrix-free operator with apply/diagonal, e.g.
         MatrixFreeLaplace) replaces the finest assembled level; pass
-        ``matrices`` for the coarse levels only in that case."""
+        ``matrices`` for the coarse levels only in that case.
+
+        ``chebyshev_degree`` / ``n_smooth`` accept a per-level sequence
+        (coarsest first, one entry per level; entry 0 is unused)."""
+        n_lv = len(matrices) + (1 if fine_op is not None else 0)
+
+        def _norm(v, name):
+            if isinstance(v, int):
+                return v
+            v = tuple(int(x) for x in v)
+            if len(v) != n_lv:
+                raise ValueError(
+                    f"{name} schedule has {len(v)} entries for {n_lv} levels")
+            return v
+
+        chebyshev_degree = _norm(chebyshev_degree, "chebyshev_degree")
+        n_smooth = _norm(n_smooth, "n_smooth")
         # banded conversion on device via static gather maps (the naive
         # in-XLA scatter tile-pads a [nnz, nb, nb] intermediate 32x and
         # OOMs at scale; host conversion costs seconds at 10^6 rows);
@@ -607,11 +627,16 @@ class Multigrid:
         dinv = (self.lo_dinvs if use_lo else self.dinvs_t)[level]
         if not is_t and dinv.ndim == 2:
             dinv = dinv.T.reshape(-1)
+        deg = (self.chebyshev_degree[level]
+               if isinstance(self.chebyshev_degree, tuple)
+               else self.chebyshev_degree)
+        ns = (self.n_smooth[level] if isinstance(self.n_smooth, tuple)
+              else self.n_smooth)
         sm = ChebyshevSmoother(A=mv, Minv=lambda r, d=dinv: d * r,
                                lo=self.los[level], hi=self.his[level],
-                               degree=self.chebyshev_degree)
+                               degree=deg)
         x = jnp.zeros_like(b)
-        for _ in range(self.n_smooth):
+        for _ in range(ns):
             x = sm(b, x)
         r = b - mv(x)
         t = self.transfers[level - 1]
@@ -633,7 +658,7 @@ class Multigrid:
         # the f32 transfer einsum upcasts the correction — drop back to
         # the smoothing dtype so the POST-smooth also runs low-precision
         x = x.astype(b.dtype)
-        for _ in range(self.n_smooth):
+        for _ in range(ns):
             x = sm(b, x)
         return x
 
@@ -768,8 +793,8 @@ def build_multigrid(
     handlers: list,
     parents: list,
     A_fine: BlockMatrix,
-    chebyshev_degree: int = 3,
-    n_smooth: int = 5,
+    chebyshev_degree: int | tuple = 3,
+    n_smooth: int | tuple = 5,
     smoothing_range: float = 20.0,
     mode: str = "direct",
     grid_shapes: list | None = None,

@@ -44,14 +44,30 @@ import gc
 import pytest
 
 
+# XLA:CPU's JIT intermittently segfaults in backend_compile_and_load once
+# enough compiled executables have accumulated in-process (seen
+# deterministically at the 12th test of test_multigrid.py, jax 0.9.0).
+# Dropping the tracing/executable caches keeps the compiler state small;
+# tests do not share jitted callables, so the only cost is re-compiles.
+# Clearing after EVERY test suite-wide roughly doubled the wall time, so
+# the per-test clear is scoped to the modules whose tests individually
+# accumulate many large MG/shard_map executables (where the crash was
+# observed); everywhere else a per-module clear bounds accumulation.
+_CLEAR_EVERY_TEST = {"test_multigrid", "test_sharding"}
+
+
 @pytest.fixture(autouse=True)
-def _clear_jax_caches():
-    """XLA:CPU's JIT intermittently segfaults in backend_compile_and_load
-    once enough compiled executables have accumulated in-process (seen
-    deterministically at the 12th test of test_multigrid.py, jax 0.9.0).
-    Dropping the tracing/executable caches between tests keeps the
-    compiler state small; tests do not share jitted callables, so the
-    only cost is re-tracing of helper closures."""
+def _clear_jax_caches(request):
+    yield
+    if request.module.__name__.rpartition(".")[2] in _CLEAR_EVERY_TEST:
+        import jax
+
+        jax.clear_caches()
+        gc.collect()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_module():
     yield
     import jax
 

@@ -326,3 +326,27 @@ def test_fmg_initial_guess():
     mesh2 = pd.hyper_cube(2, 16)
     handlers, parents, gs = build_structured_hierarchy(mesh2, 16, degree=1)
     run(handlers, parents, gs)
+
+
+def test_per_level_smoother_schedule():
+    """chebyshev_degree / n_smooth accept per-level tuples (coarsest
+    first).  A schedule that keeps the fine level's smoothing but relaxes
+    the latency-bound coarse levels must still converge to the same
+    solution in a comparable iteration count."""
+    handlers, parents = make_hierarchy(n=16, degree=1, dim=2, start=1)
+    ah = handlers[-1]
+    A = assemble_sipg_matrix(ah)
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    n_lv = len(handlers)
+    ref = build_multigrid(handlers, parents, A, chebyshev_degree=5,
+                          n_smooth=1).solve_cg(b, rtol=1e-9)
+    sched = tuple([2] * (n_lv - 1) + [5])
+    mg = build_multigrid(handlers, parents, A, chebyshev_degree=sched,
+                         n_smooth=tuple([1] * n_lv))
+    res = mg.solve_cg(b, rtol=1e-9)
+    assert float(res.residual) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
+    assert int(res.iterations) <= int(ref.iterations) + 4
+    assert np.allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-7)
+    with pytest.raises(ValueError):
+        build_multigrid(handlers, parents, A, chebyshev_degree=(5, 2))

@@ -137,8 +137,11 @@ def test_sharded_banded_structured_matches_host():
     u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
     A = assemble_sipg_matrix(ah)
     b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    # per-level smoother schedule (fine 5 / coarse 2): the sharded cycle
+    # must apply the SAME schedule as the host cycle for exact parity
+    sched = tuple([2] * (len(handlers) - 1) + [5])
     mg = build_multigrid(handlers, parents, A, grid_shapes=gs,
-                         level_assembly="banded")
+                         level_assembly="banded", chebyshev_degree=sched)
     r_host = mg.solve_cg(b, rtol=1e-9)
     ss = ShardedBandedSystem.from_multigrid(mg, make_mesh(8))
     x, iters, res = ss.solve_cg(b, rtol=1e-9)
