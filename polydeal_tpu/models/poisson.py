@@ -102,6 +102,14 @@ def solve_poisson(
     if solver == "mg" and handlers is not None and len(handlers) > 1:
         mg = build_multigrid(handlers, parents, A, dtype=dtype)
         res = mg.solve_cg(b, rtol=rtol)
+    elif solver == "amg":
+        # the reference's Trilinos-AMG comparison arm
+        # (examples/agglo_amg.cc:1473-1530), rebuilt as smoothed
+        # aggregation on the assembled matrix
+        from polydeal_tpu.solvers.amg import block_nullspace, build_amg
+
+        amg = build_amg(A, nullspace=block_nullspace(ah))
+        res = amg.solve_cg(b, rtol=rtol)
     else:
         res = cg_solve(
             A.matvec, b, M=block_jacobi_preconditioner(A.diag_blocks()),
@@ -136,7 +144,7 @@ def main():
     ap.add_argument("--strategy", default="rtree",
                     choices=("rtree", "metis", "trivial"))
     ap.add_argument("--n-agglomerates", type=int, default=None)
-    ap.add_argument("--solver", default="mg", choices=("mg", "cg"))
+    ap.add_argument("--solver", default="mg", choices=("mg", "amg", "cg"))
     ap.add_argument("--distort", type=float, default=0.0)
     ap.add_argument("--rtol", type=float, default=1e-9)
     ap.add_argument("--x64", action="store_true", default=True)

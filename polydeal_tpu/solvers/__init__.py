@@ -1,3 +1,4 @@
+from polydeal_tpu.solvers.amg import AMG, build_amg, constant_nullspace, block_nullspace
 from polydeal_tpu.solvers.cg import cg_solve, block_jacobi_preconditioner
 from polydeal_tpu.solvers.chebyshev import ChebyshevSmoother, estimate_lambda_max
 from polydeal_tpu.solvers.multigrid import (
@@ -12,6 +13,10 @@ from polydeal_tpu.solvers.multigrid import (
 )
 
 __all__ = [
+    "AMG",
+    "build_amg",
+    "constant_nullspace",
+    "block_nullspace",
     "cg_solve",
     "block_jacobi_preconditioner",
     "ChebyshevSmoother",

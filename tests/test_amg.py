@@ -1,0 +1,97 @@
+"""Smoothed-aggregation AMG (the Trilinos-AMG comparison arm of the
+reference, examples/agglo_amg.cc:1473-1530).
+
+The reference's experiment solves the same assembled SIPG system with
+(a) the polytopal multigrid (R3MG) and (b) Trilinos ML/AMG, and reports
+that R3MG needs fewer iterations on polytopal DG systems — that finding
+is reproduced here as a golden invariant.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import polydeal_tpu as pd
+from polydeal_tpu.agglomeration import RTreeAgglomerator
+from polydeal_tpu.assembly import assemble_rhs, assemble_sipg_matrix
+from polydeal_tpu.solvers import (
+    block_nullspace,
+    build_amg,
+    build_multigrid,
+    build_rtree_hierarchy,
+    cg_solve,
+    constant_nullspace,
+)
+
+
+def _problem(n=32, degree=1):
+    mesh = pd.hyper_cube(2, n)
+    agg = RTreeAgglomerator.build(mesh.cell_centers())
+    levels = list(range(1, agg.n_levels - 1))
+    handlers, parents = build_rtree_hierarchy(mesh, agg, levels,
+                                              degree=degree)
+    ah = handlers[-1]
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    A = assemble_sipg_matrix(ah)
+    b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
+    return handlers, parents, ah, A, b
+
+
+def test_amg_converges_and_matches_cg():
+    """AMG-CG reaches rtol 1e-9 and agrees with unpreconditioned CG."""
+    _, _, ah, A, b = _problem()
+    amg = build_amg(A, nullspace=block_nullspace(ah), coarse_max=100)
+    res = amg.solve_cg(b, rtol=1e-9)
+    assert float(res.residual) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
+    ref = cg_solve(A.matvec, b, rtol=1e-10, maxiter=5000)
+    assert np.allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-8)
+    # the preconditioner is doing real work
+    assert int(res.iterations) < int(ref.iterations) / 2
+
+
+def test_amg_constant_nullspace_modal():
+    """Constants-only candidates (ML default) on the modal basis: the
+    e_0 constant-mode pattern must be detected and still converge."""
+    _, _, ah, A, b = _problem(n=16)
+    ns = constant_nullspace(ah)
+    assert ns.shape == (ah.n_dofs, 1)
+    # modal Legendre: only the first basis function is (a) constant
+    assert np.all(ns.reshape(ah.n_poly, ah.n_basis)[:, 1:] == 0)
+    amg = build_amg(A, nullspace=ns, coarse_max=64)
+    res = amg.solve_cg(b, rtol=1e-9)
+    assert float(res.residual) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
+
+
+def test_r3mg_beats_amg():
+    """The reference's headline comparison (agglo_amg.cc:1473-1530):
+    on a polytopal SIPG system, the geometric polytopal multigrid needs
+    FEWER CG iterations than algebraic smoothed aggregation, and both
+    produce the same solution."""
+    handlers, parents, ah, A, b = _problem()
+    mg = build_multigrid(handlers, parents, A)
+    r_mg = mg.solve_cg(b, rtol=1e-9)
+    amg = build_amg(A, nullspace=block_nullspace(ah), coarse_max=100)
+    r_amg = amg.solve_cg(b, rtol=1e-9)
+    assert int(r_mg.iterations) < int(r_amg.iterations)
+    assert np.allclose(np.asarray(r_mg.x), np.asarray(r_amg.x), atol=1e-7)
+
+
+def test_amg_input_validation():
+    _, _, ah, A, _ = _problem(n=16)
+    with pytest.raises(ValueError):
+        build_amg(A, nullspace=np.ones(7))
+    with pytest.raises(ValueError):
+        build_amg(A, nullspace=np.ones((ah.n_dofs, ah.n_basis + 1)))
+
+
+def test_amg_poisson_model_entry():
+    """solver='amg' is wired through the poisson application."""
+    from polydeal_tpu.models.poisson import solve_poisson
+
+    out = solve_poisson(dim=2, n=16, degree=1, strategy="rtree",
+                        solver="amg", rtol=1e-9, verbose=False)
+    assert out["residual"] <= 1e-9 * 10
+    # discretization-level error (h=1/16, p=1) — the solver converged far
+    # below it (residual above); the bound only guards against a wrong
+    # solution, not against discretization accuracy
+    assert out["l2"] < 1e-1
