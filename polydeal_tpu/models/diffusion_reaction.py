@@ -99,8 +99,13 @@ def solve_diffusion_reaction(
         mg = Multigrid.setup(matrices, transfers)
         res = mg.solve_cg(b, rtol=rtol)
     else:
-        res = cg_solve(A.matvec, b, M=block_jacobi_preconditioner(A.diag_blocks()),
-                       rtol=rtol, maxiter=10000)
+        # no geometric hierarchy (METIS path): CG + smoothed-aggregation
+        # AMG — the reference solves exactly this way (METIS agglomerates,
+        # Trilinos AMG; diffusion_reaction.cc:710-724)
+        from polydeal_tpu.solvers import block_nullspace, build_amg
+
+        amg = build_amg(A, nullspace=block_nullspace(ah))
+        res = amg.solve_cg(b, rtol=rtol)
 
     l2, _ = compute_global_error(ah, res.x, u_ex)
     if verbose:

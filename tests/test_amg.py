@@ -95,3 +95,21 @@ def test_amg_poisson_model_entry():
     # below it (residual above); the bound only guards against a wrong
     # solution, not against discretization accuracy
     assert out["l2"] < 1e-1
+
+
+def test_diffusion_reaction_metis_amg():
+    """The METIS-agglomerated diffusion-reaction path solves with CG+AMG
+    — the reference's exact configuration (METIS agglomerates + Trilinos
+    AMG, diffusion_reaction.cc:710-724)."""
+    from polydeal_tpu.models.diffusion_reaction import solve_diffusion_reaction
+
+    out16 = solve_diffusion_reaction(dim=2, n=16, degree=1, reaction=1.0,
+                                     strategy="metis", rtol=1e-9,
+                                     verbose=False)
+    out32 = solve_diffusion_reaction(dim=2, n=32, degree=1, reaction=1.0,
+                                     strategy="metis", rtol=1e-9,
+                                     verbose=False)
+    # discretization error decreases under refinement; iteration counts
+    # stay bounded (AMG at these sizes is one direct coarse level)
+    assert out32["l2"] < out16["l2"] / 2
+    assert out16["iterations"] <= 80 and out32["iterations"] <= 80
