@@ -59,10 +59,10 @@ def pallas_supported(P: int, n_off: int, nb: int, max_off: int,
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("offsets_t", "nb", "interpret"),
+    static_argnames=("offsets_t", "nb", "interpret", "tile"),
 )
 def _banded_matvec_imajor_impl(data_i, xpad, xfar, offsets_t, nb,
-                               interpret):
+                               interpret, tile=None):
     """i-major kernel: data_i [nb * n_off * nb, P], rows ordered
     (i, k, j).  Per tile the shifted x windows are built ONCE and stacked
     into Xg [n_off*nb, T]; each output row i is then a single
@@ -87,8 +87,12 @@ def _banded_matvec_imajor_impl(data_i, xpad, xfar, offsets_t, nb,
     n_rows, P = data_i.shape
     R = n_off * nb
     R_pad = n_rows // nb  # 8-aligned slab height (see with_imajor)
-    T = pick_tile(P, n_rows, data_i.dtype.itemsize)
-    assert T is not None
+    # an explicit ``tile`` pins T (sharded halo contract: the halo width
+    # is chosen once for ALL dtypes of a level, so the bf16 smoother
+    # copy must not derive a different T than the f32 band)
+    T = tile if tile is not None else pick_tile(
+        P, n_rows, data_i.dtype.itemsize)
+    assert T is not None and P % T == 0
     far = [o for o in offsets if abs(o) > T]
     far_idx = {o: k for k, o in enumerate(far)}
 
@@ -262,21 +266,27 @@ def banded_tile(P: int, n_off: int, nb: int, itemsize: int = 4) -> int | None:
 
 
 def banded_matvec_t_halo(data_i, offsets, nb: int, x_ext, *,
-                         interpret: bool = False):
+                         interpret: bool = False, tile: int | None = None):
     """Sharded-slab i-major banded SpMV: ``x_ext`` [nb, per + 2T] carries
     real halo lanes from neighbor shards instead of zero padding; every
     offset must satisfy |o| <= T (no pre-rolled far copies — rolls are
-    global and would be wrong on a shard)."""
+    global and would be wrong on a shard).
+
+    ``tile`` pins T explicitly: a sharded caller picks ONE halo width
+    per level and must pass it here for every data dtype it applies
+    (a bf16 smoother copy would otherwise derive a larger T from its
+    smaller itemsize and fail the halo-width check)."""
     import jax.numpy as jnp
 
     offsets = tuple(int(o) for o in np.asarray(offsets))
     P = data_i.shape[1]
-    T = pick_tile(P, data_i.shape[0], data_i.dtype.itemsize)
+    T = tile if tile is not None else pick_tile(
+        P, data_i.shape[0], data_i.dtype.itemsize)
     assert T is not None, "no valid lane tile for this per-shard P"
     assert x_ext.shape[-1] == P + 2 * T, "halo width must equal the tile"
     assert all(abs(o) <= T for o in offsets), "far offset on a shard"
     xin = x_ext if x_ext.dtype == jnp.float64 else x_ext.astype(jnp.float32)
     xfar = jnp.zeros((1,) + xin[:, :P].shape, dtype=jnp.float32)
     y = _banded_matvec_imajor_impl(data_i, xin, xfar, offsets, nb,
-                                   interpret)
+                                   interpret, tile=T)
     return y.astype(x_ext.dtype)

@@ -180,9 +180,10 @@ def packed_supported(P: int, nb: int, K: int, itemsize: int) -> bool:
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("plan", "interpret"),
+    static_argnames=("plan", "interpret", "tile"),
 )
-def _packed_matvec_impl(data_i, oid, xpad, xfar, plan: PackPlan, interpret):
+def _packed_matvec_impl(data_i, oid, xpad, xfar, plan: PackPlan, interpret,
+                        tile=None):
     """Packed kernel: near offsets (|o| <= T) come from the prev/cur/next
     aligned tiles of the T-padded x (the static streaming structure of
     ops/banded.py — the resident-x modular-indexing variant compiled and
@@ -196,8 +197,10 @@ def _packed_matvec_impl(data_i, oid, xpad, xfar, plan: PackPlan, interpret):
     nb, K = plan.nb, plan.K
     R_pad = plan.R_pad
     P = data_i.shape[-1]
-    T = pick_tile_packed(P, nb * R_pad, data_i.dtype.itemsize)
-    assert T is not None
+    # explicit ``tile`` pins T (sharded halo contract — see banded.py)
+    T = tile if tile is not None else pick_tile_packed(
+        P, nb * R_pad, data_i.dtype.itemsize)
+    assert T is not None and P % T == 0
     far = [o for o in plan.offsets if abs(o) > T]
     far_idx = {o: k for k, o in enumerate(far)}
     # windows/slot-selects run in the x dtype (bf16 x halves the padded/
@@ -307,7 +310,7 @@ def packed_tile(P: int, nb: int, K: int, itemsize: int = 4) -> int | None:
 
 
 def packed_matvec_t_halo(data_i, oid, plan: PackPlan, x_ext, *,
-                         interpret: bool = False):
+                         interpret: bool = False, tile: int | None = None):
     """Sharded-slab variant: ``x_ext`` [nb, per + 2T] carries REAL halo
     lanes (from neighboring shards, via ppermute) where the unsharded
     path pads zeros — the kernel is bitwise the same.  The zero blocks
@@ -318,7 +321,10 @@ def packed_matvec_t_halo(data_i, oid, plan: PackPlan, x_ext, *,
 
     nb = plan.nb
     P = data_i.shape[-1]
-    T = pick_tile_packed(P, nb * plan.R_pad, data_i.dtype.itemsize)
+    # ``tile`` pins T (one halo width per sharded level across all data
+    # dtypes — see banded_matvec_t_halo)
+    T = tile if tile is not None else pick_tile_packed(
+        P, nb * plan.R_pad, data_i.dtype.itemsize)
     assert T is not None, "no valid lane tile for this per-shard P"
     assert x_ext.shape[-1] == P + 2 * T, "halo width must equal the tile"
     assert all(abs(o) <= T for o in plan.offsets), \
@@ -326,5 +332,5 @@ def packed_matvec_t_halo(data_i, oid, plan: PackPlan, x_ext, *,
     xin = (x_ext if x_ext.dtype in (jnp.float64, jnp.bfloat16)
            else x_ext.astype(jnp.float32))
     xfar = jnp.zeros((1,) + xin[:, :P].shape, dtype=xin.dtype)
-    y = _packed_matvec_impl(data_i, oid, xin, xfar, plan, interpret)
+    y = _packed_matvec_impl(data_i, oid, xin, xfar, plan, interpret, tile=T)
     return y.astype(x_ext.dtype)

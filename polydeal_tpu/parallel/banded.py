@@ -103,12 +103,14 @@ def _shard_ready(ell, per: int, on_tpu: bool):
 
     assert ell.far_data is None, (
         "cannot repack a pack that already has an explicit far tail")
-    band = jax.jit(lambda e: e.to_banded())(ell)
     src, dst = ell.sparsity_pairs()
     plan2, oid2, frows, fcols = build_pack_plan(
-        src, dst, band.n_block_rows, ell.plan.nb, near_limit=bound)
-    return jax.jit(lambda b, o: b.to_packed(plan2, o, frows, fcols))(
-        band, jnp.asarray(oid2))
+        src, dst, ell.n_block_rows, ell.plan.nb, near_limit=bound)
+    # direct slot remap — never materializes the dense band (whose
+    # n_off rows would transiently cost 5x+ the pack in HBM at the
+    # wide-offset levels this path exists for)
+    return jax.jit(lambda e, o: e.repack(plan2, o, frows, fcols))(
+        ell, jnp.asarray(oid2))
 
 
 def _tile_for(ell, per: int, on_tpu: bool):
@@ -281,7 +283,11 @@ class ShardedBandedSystem:
             levels.append(lv)
             params.append(pl_)
 
-        # replicated bottom: a sub-Multigrid over levels [0, k0)
+        # replicated bottom: a sub-Multigrid over levels [0, k0).  The
+        # lo (precond_dtype) copies are sliced through so the replicated
+        # levels smooth in the SAME precision as the host cycle — the
+        # sharded and unsharded preconditioners must be numerically
+        # identical for the iteration-parity invariant to hold
         rep = Multigrid(
             matrices=mg.matrices[:k0],
             transfers=mg.transfers[: max(k0 - 1, 0)],
@@ -292,6 +298,9 @@ class ShardedBandedSystem:
             dinvs_t=mg.dinvs_t[:k0],
             los=mg.los[:k0],
             his=mg.his[:k0],
+            lo_ells=(mg.lo_ells[:k0] if mg.lo_ells is not None else None),
+            lo_dinvs=(mg.lo_dinvs[:k0] if mg.lo_dinvs is not None
+                      else None),
         )
         fine = mg.ells[-1]
         return cls(mesh, levels, params, rep,
@@ -391,8 +400,11 @@ class ShardedBandedSystem:
             if lv.use_kernel:
                 from polydeal_tpu.ops.packed import packed_matvec_t_halo
 
+                # tile=lv.T: the halo width was chosen ONCE per level
+                # (from the operator dtype); the lo (bf16) copy must use
+                # the same T, not derive a larger one from its itemsize
                 return packed_matvec_t_halo(pl_[key_i], pl_["oid"],
-                                            lv.plan, x_ext)
+                                            lv.plan, x_ext, tile=lv.T)
             # XLA windows over the halo-extended slab (static slices —
             # no wrap, matching the ring-halo contract)
             T, per, nb = lv.T, lv.per, lv.nb
@@ -418,7 +430,7 @@ class ShardedBandedSystem:
             from polydeal_tpu.ops.banded import banded_matvec_t_halo
 
             return banded_matvec_t_halo(pl_[key_i], np.asarray(lv.offsets),
-                                        lv.nb, x_ext)
+                                        lv.nb, x_ext, tile=lv.T)
         T, per = lv.T, lv.per
         band = pl_[key_b]
         y = jnp.zeros((lv.nb, per), dtype=x_ext.dtype)
@@ -438,8 +450,12 @@ class ShardedBandedSystem:
             segs.append(jax.lax.ppermute(
                 buf, ax, [(j, (j + delta) % n) for j in range(n)]))
         xg = jnp.concatenate(segs, axis=0)
+        # the far tail computes in the BAND dtype (f32): tiny data, and
+        # the unsharded BlockPacked.matvec_t keeps f32 accumulation for
+        # it — casting down would silently diverge from the host path
+        fdata = pl_["fdata"]
         prod = jnp.einsum("kij,kj->ki",
-                          pl_["fdata"].astype(xb.dtype), xg[pl_["fcols"]])
+                          fdata, xg[pl_["fcols"]].astype(fdata.dtype))
         yb = jax.ops.segment_sum(prod, pl_["flrows"],
                                  num_segments=lv.per)
         return yb.T
@@ -512,7 +528,17 @@ class ShardedBandedSystem:
                 rc_full = jax.lax.all_gather(rc_loc, self.axis, axis=1,
                                              tiled=True)
             if rep_mg.n_levels:
-                xc_full = rep_mg._cycle(rep_mg.n_levels - 1, rc_full)
+                top = rep_mg.n_levels - 1
+                if (rc_full.ndim == 2 and top > 0
+                        and not rep_mg._is_t(top)):
+                    # replicated top level cannot run the transposed
+                    # layout (e.g. a BlockELL fallback level): flatten
+                    # for the host cycle, transpose back after
+                    nbt = rc_full.shape[0]
+                    xc_flat = rep_mg._cycle(top, rc_full.T.reshape(-1))
+                    xc_full = xc_flat.reshape(-1, nbt).T
+                else:
+                    xc_full = rep_mg._cycle(top, rc_full)
             else:
                 xc_full = rc_full
             if self.n_dev == 1:

@@ -36,6 +36,7 @@ DG systems where constants-only SA coarsens the dof count by
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -236,11 +237,17 @@ class AMG:
 
     def solve_cg(self, b: jnp.ndarray, rtol: float = 1e-9,
                  maxiter: int = 300) -> CGResult:
-        # self enters as a pytree ARGUMENT: closure capture would inline
-        # every level matrix as a compile-time constant
-        return jax.jit(
-            lambda amg, bb: cg_solve(amg.As[-1].matvec, bb, M=amg.v_cycle,
-                                     rtol=rtol, maxiter=maxiter))(self, b)
+        # self enters as a pytree ARGUMENT of a module-level cached jit:
+        # closure capture would inline every level matrix as a
+        # compile-time constant, and a fresh jax.jit(lambda) per call
+        # would re-compile the whole program on every solve
+        return _amg_solve_cg(self, b, rtol, maxiter)
+
+
+@functools.partial(jax.jit, static_argnames=("rtol", "maxiter"))
+def _amg_solve_cg(amg: AMG, b, rtol: float, maxiter: int) -> CGResult:
+    return cg_solve(amg.As[-1].matvec, b, M=amg.v_cycle,
+                    rtol=rtol, maxiter=maxiter)
 
 
 def build_amg(
@@ -284,6 +291,7 @@ def build_amg(
 
     host_As = [M]
     host_Ps = []
+    host_lams = []  # lam_max(D^-1 A) per host level, reused for Chebyshev
     nb_cur = A.n_basis
     while (host_As[-1].shape[0] > coarse_max
            and len(host_As) < max_levels):
@@ -299,6 +307,7 @@ def build_amg(
         dinv = 1.0 / Mcur.diagonal()
         DA = sp.diags(dinv) @ Mcur
         lam = _power_lambda_max(DA)
+        host_lams.append(lam)
         P = (P_hat - (omega_scale / lam) * (DA @ P_hat)).tocsr()
         Mc = (P.T @ Mcur @ P).tocsr()
         Mc.eliminate_zeros()
@@ -307,23 +316,27 @@ def build_amg(
         nb_cur = nc  # every coarser level has nc dofs per aggregate
 
     # ---- device build (coarse -> fine) --------------------------------
-    import scipy.sparse as _sp
-
     As, Ps, Pts, dinvs, los, his = [], [], [], [], [], []
     n_lv = len(host_As)
     coarse_inv = None
     for l in range(n_lv):
-        hA = host_As[n_lv - 1 - l]
-        bs = A.n_basis if l == n_lv - 1 else nc
+        h = n_lv - 1 - l  # host level index (0 = fine)
+        hA = host_As[h]
         if l == n_lv - 1:
             As.append(fine_block)  # keep the fast block SpMV on the fine level
         else:
-            As.append(_csr_to_block(hA, bs, dtype))
+            As.append(_csr_to_block(hA, nc, dtype))
         d = hA.diagonal()
         dinvs.append(jnp.asarray(1.0 / d, dtype=dtype))
-        lam = _power_lambda_max(_sp.diags(1.0 / d) @ hA)
-        los.append(float(lam) / smoothing_range)
-        his.append(float(lam) * 1.1)
+        if l == 0:
+            # the coarsest level is solved directly — its Chebyshev
+            # interval is never used (placeholder keeps lists aligned)
+            los.append(0.0)
+            his.append(1.0)
+        else:
+            lam = host_lams[h]  # computed during coarsening, reused here
+            los.append(float(lam) / smoothing_range)
+            his.append(float(lam) * 1.1)
         if l == 0:
             Ps.append(None)
             Pts.append(None)

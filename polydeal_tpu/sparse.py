@@ -560,6 +560,68 @@ class BlockPacked:
         return BlockPacked(self.data_i.astype(dtype), self.oid, self.plan,
                            fd, self.far_rows, self.far_cols)
 
+    def repack(self, plan2, oid2, far_rows=None,
+               far_cols=None) -> "BlockPacked":
+        """Re-slot under a new plan (e.g. a tighter near/far split for a
+        sharded halo) WITHOUT materializing the dense band: each new slot
+        row is a masked per-lane selection of the old slot row holding
+        the same offset, and the far tail gathers old rows directly.
+        Memory stays O(pack) — the to_banded() round-trip would allocate
+        the n_off-row dense band (5x+ the pack at wide-offset levels).
+
+        Requires a full-coloring source (no existing far tail); the new
+        plan's offsets must be a subset of the old plan's (same
+        sparsity, re-split)."""
+        assert self.far_data is None, (
+            "repack expects a full-coloring source pack")
+        plan1 = self.plan
+        nb, P = plan1.nb, self.n_block_rows
+        R1, R2 = plan1.R_pad, plan2.R_pad
+        K2 = plan2.K
+        old_slot = {}
+        for k1, idxs in enumerate(plan1.slots):
+            for o_idx in idxs:
+                old_slot[plan1.offsets[o_idx]] = k1
+        di = self.data_i
+
+        def _old_block(o):
+            """[nb, nb, P] old rows (i, k1(o), j): holds THE block of
+            offset o wherever o is active at a lane (other lanes carry a
+            sibling offset's block — masked by the caller)."""
+            k1 = old_slot[o]
+            return jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(di, i * R1 + k1 * nb, nb, 0)
+                 for i in range(nb)], axis=0)
+
+        packed_k = []
+        for k2 in range(K2):
+            acc = jnp.zeros((nb, nb, P), dtype=di.dtype)
+            for o2_idx in plan2.slots[k2]:
+                o = plan2.offsets[o2_idx]
+                mask = (oid2[k2] == o2_idx)[None, None, :]
+                acc = jnp.where(mask, _old_block(o), acc)
+            packed_k.append(acc)
+        slabs = []
+        for i in range(nb):
+            slab = jnp.concatenate([pk[i] for pk in packed_k], axis=0)
+            if R2 != K2 * nb:
+                slab = jnp.concatenate(
+                    [slab, jnp.zeros((R2 - K2 * nb, P),
+                                     dtype=slab.dtype)], axis=0)
+            slabs.append(slab)
+        data_i2 = jnp.concatenate(slabs, axis=0)
+        far_data = None
+        if far_rows is not None and far_rows.size:
+            foffs = np.asarray(far_cols) - np.asarray(far_rows)
+            chunks = []
+            for o in np.unique(foffs):  # (offset, row) order — matches
+                rows_o = np.asarray(far_rows)[foffs == o]  # to_packed
+                blk = _old_block(int(o))
+                chunks.append(jnp.moveaxis(blk[:, :, rows_o], -1, 0))
+            far_data = jnp.concatenate(chunks, axis=0)
+        return BlockPacked(data_i2, oid2, plan2, far_data,
+                           far_rows, far_cols)
+
     def matvec_t(self, xt: jnp.ndarray) -> jnp.ndarray:
         from polydeal_tpu.ops.packed import packed_matvec_t
 

@@ -340,3 +340,69 @@ def test_packed_full_coloring_kernel_far(monkeypatch):
     # exact round trip back to the band
     band2 = packed.to_banded()
     assert np.allclose(np.asarray(band2.data), np.asarray(A.data))
+
+
+def test_packed_repack_matches_banded_roundtrip():
+    """BlockPacked.repack (direct slot remap, no dense-band intermediate)
+    must produce bitwise the same pack as the to_banded().to_packed()
+    round-trip for a tighter near/far split."""
+    from polydeal_tpu.ops.packed import build_pack_plan
+    from polydeal_tpu.sparse import BlockPacked
+
+    ah, A, offs = _rtree_leaf_band()
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    src = ft.poly_in[interior]
+    dst = ft.poly_out[interior]
+    # full coloring (single-chip mode: all offsets in slots)
+    plan1, oid1, _, _ = build_pack_plan(
+        src, dst, ah.n_poly, ah.n_basis, offsets=offs, near_limit=-1)
+    full = A.to_packed(plan1, jnp.asarray(oid1))
+    assert isinstance(full, BlockPacked) and full.far_data is None
+    # tighter split (the sharded-halo contract)
+    bound = max(1, int(np.abs(offs).max()) // 2)
+    plan2, oid2, frows, fcols = build_pack_plan(
+        src, dst, ah.n_poly, ah.n_basis, near_limit=bound)
+    assert frows.size > 0  # the split actually moved blocks to the tail
+    ref = A.to_packed(plan2, jnp.asarray(oid2), frows, fcols)
+    out = full.repack(plan2, jnp.asarray(oid2), frows, fcols)
+    assert np.array_equal(np.asarray(out.data_i), np.asarray(ref.data_i))
+    assert np.array_equal(np.asarray(out.far_data), np.asarray(ref.far_data))
+    # and the matvec agrees with the dense band
+    rng = np.random.default_rng(5)
+    xt = jnp.asarray(rng.standard_normal((ah.n_basis, ah.n_poly)),
+                     dtype=A.data.dtype)
+    y = np.asarray(A.matvec_t(xt))
+    assert np.allclose(np.asarray(out.matvec_t(xt)), y, rtol=1e-5,
+                       atol=1e-6 * np.abs(y).max())
+
+
+def test_halo_kernel_pinned_tile_bf16():
+    """A sharded level picks ONE halo width T from the operator (f32)
+    dtype; the bf16 smoother copy must run the halo kernel with that
+    same pinned T even though its smaller itemsize would derive a larger
+    tile (regression: AssertionError 'halo width must equal the tile')."""
+    from polydeal_tpu.ops.banded import banded_matvec_t_halo, pick_tile
+
+    nb, n_off, P = 4, 12, 4096
+    R_pad = -(-n_off * nb // 8) * 8
+    n_rows = nb * R_pad
+    T32 = pick_tile(P, n_rows, 4)
+    T16 = pick_tile(P, n_rows, 2)
+    assert T32 is not None and T16 is not None and T16 > T32  # divergence
+    offsets = np.arange(-5, 7)
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((n_rows, P)).astype(np.float32)
+    # zero the padding rows (k >= n_off*nb within each i-slab)
+    for i in range(nb):
+        data[i * R_pad + n_off * nb:(i + 1) * R_pad] = 0.0
+    x_ext = rng.standard_normal((nb, P + 2 * T32)).astype(np.float32)
+    y32 = banded_matvec_t_halo(jnp.asarray(data), offsets, nb,
+                               jnp.asarray(x_ext), interpret=True,
+                               tile=T32)
+    y16 = banded_matvec_t_halo(jnp.asarray(data, dtype=jnp.bfloat16),
+                               offsets, nb, jnp.asarray(x_ext),
+                               interpret=True, tile=T32)
+    ref = np.asarray(y32, dtype=np.float64)
+    err = np.abs(np.asarray(y16, dtype=np.float64) - ref).max()
+    assert err < 2e-2 * np.abs(ref).max()  # bf16 data tolerance
