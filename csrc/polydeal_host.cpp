@@ -267,4 +267,49 @@ int pd_str_leaf_order(const double* pts, int64_t n, int32_t dim,
   return 0;
 }
 
+// ---------------------------------------------------------------------
+// Vanek greedy aggregation on a CSR strength graph (the smoothed-
+// aggregation AMG setup hot loop; sequential 3-pass semantics must
+// match the numpy fallback in solvers/amg.py::_aggregate exactly).
+// indptr [n+1], indices [nnz]; out: aggregate label per node.
+// Returns n_agg, or -1 on bad input.
+int pd_sa_aggregate(const int64_t* indptr, const int64_t* indices, int64_t n,
+                    int32_t* out) {
+  if (n < 0) return -1;
+  std::fill(out, out + n, -1);
+  int32_t n_agg = 0;
+  // pass 1: untouched nodes with fully-untouched strong neighborhoods
+  // seed an aggregate containing that whole neighborhood
+  for (int64_t i = 0; i < n; ++i) {
+    if (out[i] != -1) continue;
+    bool clean = true;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      if (out[indices[k]] != -1) {
+        clean = false;
+        break;
+      }
+    if (clean) {
+      out[i] = n_agg;
+      for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+        out[indices[k]] = n_agg;
+      ++n_agg;
+    }
+  }
+  // pass 2: join the first tagged strong neighbor (current labels)
+  for (int64_t i = 0; i < n; ++i) {
+    if (out[i] != -1) continue;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int32_t l = out[indices[k]];
+      if (l != -1) {
+        out[i] = l;
+        break;
+      }
+    }
+  }
+  // pass 3: leftovers form singleton aggregates
+  for (int64_t i = 0; i < n; ++i)
+    if (out[i] == -1) out[i] = n_agg++;
+  return n_agg;
+}
+
 }  // extern "C"

@@ -61,6 +61,9 @@ def _load():
         f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i64p,
     ]
     lib.pd_str_leaf_order.restype = ctypes.c_int
+    if hasattr(lib, "pd_sa_aggregate"):  # stale .so without the symbol
+        lib.pd_sa_aggregate.argtypes = [i64p, i64p, ctypes.c_int64, i32p]
+        lib.pd_sa_aggregate.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -117,6 +120,22 @@ def str_leaf_order(points: np.ndarray, fanout: int):
     out = np.empty(n, dtype=np.int64)
     lib.pd_str_leaf_order(points, n, dim, fanout, out)
     return out
+
+
+def sa_aggregate(indptr: np.ndarray, indices: np.ndarray):
+    """Vanek greedy aggregation labels over a CSR strength graph, or
+    None if the library (or symbol, for a stale build) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pd_sa_aggregate"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    n = indptr.shape[0] - 1
+    out = np.empty(n, dtype=np.int32)
+    n_agg = lib.pd_sa_aggregate(indptr, indices, n, out)
+    if n_agg < 0:
+        return None
+    return out.astype(np.int64)
 
 
 def str_tile(points: np.ndarray, n_groups: int):

@@ -107,7 +107,16 @@ def _aggregate(indptr: np.ndarray, indices: np.ndarray, n: int) -> np.ndarray:
     Pass 1: untouched nodes whose strong neighborhood is untouched seed
     an aggregate with that whole neighborhood.  Pass 2: remaining nodes
     join an adjacent aggregate.  Pass 3: leftovers form their own.
+
+    Native C++ (csrc ``pd_sa_aggregate``) when available — the greedy
+    passes are inherently sequential and interpreter-bound at 10^5+
+    nodes; the numpy loop below is the exact-semantics fallback.
     """
+    from polydeal_tpu import native
+
+    lab = native.sa_aggregate(indptr, indices)
+    if lab is not None:
+        return lab
     label = np.full(n, -1, dtype=np.int64)
     n_agg = 0
     for i in range(n):

@@ -113,3 +113,33 @@ def test_diffusion_reaction_metis_amg():
     # stay bounded (AMG at these sizes is one direct coarse level)
     assert out32["l2"] < out16["l2"] / 2
     assert out16["iterations"] <= 80 and out32["iterations"] <= 80
+
+
+def test_native_aggregation_matches_numpy():
+    """The C++ pd_sa_aggregate must reproduce the numpy fallback's
+    sequential 3-pass semantics exactly (same labels, not just the same
+    partition)."""
+    import scipy.sparse as sp
+
+    from polydeal_tpu import native
+    from polydeal_tpu.solvers import amg as amg_mod
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    n = 500
+    ij = rng.integers(0, n, size=(2, 2500))
+    g = sp.csr_matrix((np.ones(ij.shape[1]), (ij[0], ij[1])), shape=(n, n))
+    g = (g + g.T).tocsr()
+    g.setdiag(0)
+    g.eliminate_zeros()
+    lab_native = native.sa_aggregate(g.indptr, g.indices)
+    assert lab_native is not None
+    orig = native.sa_aggregate
+    native.sa_aggregate = lambda *a: None  # force the numpy path
+    try:
+        lab_py = amg_mod._aggregate(
+            g.indptr.astype(np.int64), g.indices.astype(np.int64), n)
+    finally:
+        native.sa_aggregate = orig
+    assert np.array_equal(lab_native, lab_py)
