@@ -4,6 +4,12 @@ The reference instruments phases with deal.II ``TimerOutput`` scopes and
 MPI-aggregated summaries (monodomain_DG3D.cc:651,787-790).  Here a simple
 host-side scope timer with a printable summary; device work is closed out
 with ``jax.block_until_ready`` so timings are honest.
+
+:func:`chained_cost` measures the PER-APPLICATION device cost of a
+jittable step — the methodology every bench tool uses: a single jitted
+call through a remote/tunneled device pays a fixed dispatch round-trip
+(~35 ms measured through the axon tunnel), so per-op cost must be the
+SLOPE between two chained-``lax.scan`` lengths, not a single-call time.
 """
 
 from __future__ import annotations
@@ -12,7 +18,39 @@ import time
 from collections import defaultdict
 from contextlib import contextmanager
 
-__all__ = ["Timer"]
+__all__ = ["Timer", "chained_cost"]
+
+
+def chained_cost(step_fn, x0, n_small: int = 8, n_large: int = 64,
+                 reps: int = 3) -> float:
+    """Seconds per application of ``step_fn`` (x -> x, jittable), free of
+    dispatch/tunnel round-trip latency.
+
+    Runs ``lax.scan`` chains of two lengths and returns
+    ``(t(n_large) - t(n_small)) / (n_large - n_small)``; each chain is
+    compiled and warmed first and timed with a host read (best of
+    ``reps``), so neither compile time nor async dispatch can leak in.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def chain_time(n):
+        f = jax.jit(lambda x: jax.lax.scan(
+            lambda c, _: (step_fn(c), None), x, None, length=n)[0])
+        r = f(x0)
+        jax.block_until_ready(r)
+        float(jnp.sum(jax.tree.leaves(r)[0]))  # host read: remote done
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = f(x0)
+            float(jnp.sum(jax.tree.leaves(r)[0]))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = chain_time(n_small)
+    t2 = chain_time(n_large)
+    return (t2 - t1) / (n_large - n_small)
 
 
 class Timer:

@@ -338,3 +338,17 @@ def test_inscribed_circle_exact():
     qs = compute_quality_metrics(ah2)
     assert np.all(np.abs(qe["circle_ratio"] - qs["circle_ratio"]) < 0.5)
     assert np.all(qe["circle_ratio"] > 0.2)
+
+
+def test_chained_cost_methodology():
+    """chained_cost returns the per-application slope, immune to the
+    fixed per-call dispatch overhead (the tunneled-TPU timing rule)."""
+    import jax.numpy as jnp
+
+    from polydeal_tpu.utils.timer import chained_cost
+
+    x0 = jnp.ones((64, 64))
+    c = chained_cost(lambda x: x @ x * 1e-3 + x, x0, n_small=4,
+                     n_large=32, reps=2)
+    assert c > 0.0
+    assert c < 0.05  # a 64x64 matmul is far under 50 ms/step
