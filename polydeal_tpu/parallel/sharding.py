@@ -271,6 +271,23 @@ class ShardedSystem:
                 ploc = np.clip(par - shard * per_c, 0, per_c - 1)
                 params[li + 1]["parent_local"] = jnp.asarray(
                     ploc.astype(np.int32))
+                # padded inverse map for the gather-based restrict
+                # (scatter .at[].add is the slow path on TPU): children
+                # of each LOCAL coarse row, as LOCAL fine indices
+                from polydeal_tpu.utils.grouping import padded_group_lists
+
+                lab = ploc + shard * per_c  # global coarse row per fine
+                members, _ = padded_group_lists(
+                    lab, levels[li].n_rows_pad)
+                mask = members >= 0
+                local = np.where(
+                    mask,
+                    members - (np.arange(levels[li].n_rows_pad)
+                               // per_c)[:, None] * per_f, 0)
+                params[li + 1]["children"] = jnp.asarray(
+                    local.astype(np.int32))
+                params[li + 1]["children_mask"] = jnp.asarray(
+                    mask.astype(np.asarray(t.E).dtype))
             else:
                 params[li + 1]["parent"] = jnp.asarray(par)
         cdense = np.asarray(mg.matrices[0].to_dense())
@@ -344,10 +361,12 @@ class ShardedSystem:
                   r_loc):
         contrib = jnp.einsum("pij,pi->pj", fine_pl["E"], r_loc)
         if fine.nested_transfer:
-            # parents are shard-local: pure local scatter, zero comm
-            out = jnp.zeros((coarse.rows_per_shard, contrib.shape[-1]),
-                            dtype=contrib.dtype)
-            return out.at[fine_pl["parent_local"]].add(contrib)
+            # parents are shard-local, zero comm; the reduction is a
+            # PADDED GATHER over each coarse row's children (a scatter
+            # .at[].add would be the documented-slow TPU path)
+            ch = fine_pl["children"]  # [per_c, C] local fine indices
+            mask = fine_pl["children_mask"].astype(contrib.dtype)
+            return jnp.einsum("cm,cmj->cj", mask, contrib[ch])
         partial_sum = jnp.zeros((coarse.n_rows_pad, contrib.shape[-1]),
                                 dtype=contrib.dtype)
         partial_sum = partial_sum.at[fine_pl["parent"]].add(contrib)
