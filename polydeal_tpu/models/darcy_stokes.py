@@ -403,29 +403,33 @@ def block_hierarchy(mesh, n: int, block: int, degree: int):
 def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
                             block: int, nu: float | None = None,
                             kappa: float | None = None,
-                            penalty_v: float = 40.0):
+                            penalty_v: float = 40.0,
+                            source: str = "system"):
     """Field-wise R3MG preconditioner for the coupled GMRES solve
     (improves on the reference's sparse direct solver,
     darcy_stokes.cc:1688-1696):
 
-      u  : scalar SIPG V-cycle at degree_v with the SYSTEM's penalty
-           scale (penalty_v-matched — measured 1.5x fewer GMRES
-           iterations than the default-penalty V-cycle), applied per
-           velocity component on the zero-extended residual, scaled by
-           1/nu;
+      u  : V-cycle on the velocity block — with ``source='system'``
+           (default) the Galerkin hierarchy of the coupled system's TRUE
+           u-u block (SIPG + BJS tangential interface terms + the
+           subdomain's actual boundary conditions), all components in
+           one cycle; with ``source='proxy'`` a scalar SIPG re-assembly
+           per level with the system's penalty scale, per component,
+           scaled by 1/nu;
       pS : field block-Jacobi (the pressure-stabilization proxy; the
            plain nu*M_p^{-1} Schur surrogate measured WORSE here because
            the pS-pS block is jump-stabilization, not a mass matrix);
-      pD : scalar SIPG V-cycle at degree_pD scaled by 1/kappa (the
-           system's pD block is Neumann on a subdomain — the global
-           Dirichlet V-cycle is a spectrally rougher proxy there, the
-           main residual mesh-dependence: iterations grow ~1.5-1.8x per
-           refinement but decelerate, vs ~2x+ for block-Jacobi alone).
+      pD : V-cycle on the TRUE pD-pD block (source='system') — the block
+           is Neumann on the subdomain and the true-block hierarchy
+           preserves that, where the proxy (a global-Dirichlet scalar
+           SIPG scaled by 1/kappa) was spectrally rougher and the main
+           source of iteration growth under refinement.
     """
     import jax.numpy as jnp
 
     from polydeal_tpu.assembly import assemble_sipg_matrix
-    from polydeal_tpu.solvers import build_multigrid
+    from polydeal_tpu.solvers import (build_field_block_multigrid,
+                                      build_multigrid)
 
     nu = NU if nu is None else nu
     kappa = KAPPA if kappa is None else kappa
@@ -441,16 +445,33 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
              ("pD", deg_pD, kappa, None))
     for name, deg, scale, pc in specs:
         handlers, parents = block_hierarchy(mesh, n, block, deg)
-        A = assemble_sipg_matrix(handlers[-1], penalty_constant=pc)
-        mgs[name] = (build_multigrid(handlers, parents, A), scale,
-                     handlers[-1])
+        if source == "system":
+            # cheb=5 measured best (52/116 GMRES iters over the n=8/16
+            # refinement vs 58/131 at the default degree 3)
+            mg_f = build_field_block_multigrid(sp, sys.op, name,
+                                               handlers, parents,
+                                               chebyshev_degree=5)
+            mgs[name] = (mg_f, 1.0, handlers[-1], True)
+        else:
+            A = assemble_sipg_matrix(handlers[-1], penalty_constant=pc)
+            mgs[name] = (build_multigrid(handlers, parents, A), scale,
+                         handlers[-1], False)
 
     bj = sys.op.block_jacobi()
 
     def field_mg(name, v):
-        mg_f, s_f, ah_f = mgs[name]
+        mg_f, s_f, ah_f, true_block = mgs[name]
         f = sp.fields[name]
-        r = sp.unpack(v, name)
+        r = sp.unpack(v, name)  # [n_f, d, nb]
+        if true_block:
+            # one V-cycle over all components (blocks are comp-major)
+            full = jnp.zeros((ah_f.n_poly, f.block), dtype=v.dtype)
+            full = full.at[jnp.asarray(f.polys)].set(
+                r.reshape(f.n_polys, f.block))
+            z = mg_f.v_cycle(full.reshape(-1))
+            return z.reshape(ah_f.n_poly, f.block)[
+                jnp.asarray(f.polys)].reshape(f.n_polys, f.n_components,
+                                              f.basis.n_basis)
         comps = []
         for d in range(f.n_components):
             full = jnp.zeros((ah_f.n_poly, f.basis.n_basis),

@@ -5,6 +5,7 @@ from polydeal_tpu.solvers.multigrid import (
     Multigrid,
     Transfer,
     build_embedding,
+    build_field_block_multigrid,
     build_multigrid,
     maybe_pack_level,
     build_rtree_hierarchy,
@@ -24,6 +25,7 @@ __all__ = [
     "Multigrid",
     "Transfer",
     "build_embedding",
+    "build_field_block_multigrid",
     "build_multigrid",
     "maybe_pack_level",
     "build_rtree_hierarchy",

@@ -55,6 +55,7 @@ __all__ = [
     "Multigrid",
     "build_rtree_hierarchy",
     "maybe_pack_level",
+    "build_field_block_multigrid",
 ]
 
 
@@ -932,4 +933,141 @@ def build_multigrid(
                            chebyshev_degree=chebyshev_degree,
                            n_smooth=n_smooth, smoothing_range=smoothing_range,
                            precond_dtype=precond_dtype, fine_op=fine_op,
+                           coarse_solver=coarse_solver)
+
+
+def build_field_block_multigrid(
+    space,
+    op,
+    name: str,
+    handlers: list,
+    parents: list,
+    chebyshev_degree: int | tuple = 3,
+    n_smooth: int | tuple = 5,
+    smoothing_range: float = 20.0,
+    dtype=jnp.float64,
+    coarse_solver: str = "lu",
+) -> Multigrid:
+    """Galerkin R3MG built from the coupled operator's ACTUAL
+    (``name``, ``name``) diagonal block.
+
+    Where :func:`build_multigrid` re-assembles a scalar SIPG proxy on
+    every level, this extracts the field's diagonal block from the
+    assembled :class:`~polydeal_tpu.assembly.mixed.MixedOperator` —
+    including its interface terms (e.g. the BJS tangential coupling of
+    darcy_stokes, reference examples/darcy_stokes.cc:1560-1637) and the
+    subdomain's true boundary conditions (Neumann where the coupled
+    system is Neumann) — scatters it onto the full polytope set of a
+    degree-matched geometric hierarchy (polytopes outside the field's
+    subdomain get scaled identity blocks, so the extended matrix stays
+    SPD and the V-cycle acts as a scaled identity there), and
+    Galerkin-coarsens it through the exact polynomial embeddings
+    (the reference's AmgProjector scheme, multigrid_amg.h:274-305).
+
+    Vector fields (``n_components > 1``) expand each scalar embedding to
+    ``blockdiag(E, ..., E)`` matching the field's component-major block
+    layout, so the velocity block of a Stokes system — dense across
+    components on BJS interface faces — is coarsened exactly.
+
+    ``handlers``/``parents``: a hierarchy whose FINEST level's polytope
+    ordering matches the coupled system's global polytope ids and whose
+    basis equals the field's (same degree/family).
+    """
+    f = space.fields[name]
+    ah = handlers[-1]
+    nb = ah.n_basis
+    d = f.n_components
+    assert f.basis.n_basis == nb, (
+        f"hierarchy basis ({nb}) must match field '{name}' "
+        f"({f.basis.n_basis})")
+    rows_l, cols_l, data = op.finalize()[(name, name)]
+    gp = np.asarray(f.polys)
+    rows, cols = gp[rows_l], gp[cols_l]
+    data = data.astype(dtype)
+
+    # exterior polytopes: scaled identity at the field's diagonal scale
+    # (keeps the Chebyshev eigenvalue estimates in the block's range)
+    act = np.zeros(ah.n_poly, dtype=bool)
+    act[gp] = True
+    ext = np.nonzero(~act)[0]
+    blocks, r_all, c_all = [data], [rows], [cols]
+    if ext.size:
+        diag = data[rows_l == cols_l]
+        scale = jnp.trace(diag, axis1=1, axis2=2).mean() / f.block
+        eye = scale * jnp.eye(f.block, dtype=dtype)
+        blocks.append(jnp.broadcast_to(eye, (ext.size, f.block, f.block)))
+        r_all.append(ext)
+        c_all.append(ext)
+
+    @jax.jit
+    def _build(blocks):
+        A = BlockMatrix.from_blocks(
+            np.concatenate(r_all), np.concatenate(c_all),
+            jnp.concatenate(blocks, axis=0), ah.n_poly)
+        Es = []
+        for l in range(len(handlers) - 1):
+            E = build_embedding(handlers[l], handlers[l + 1], parents[l],
+                                dtype=dtype)
+            if d > 1:  # component-major block expansion
+                E = jnp.einsum("de,pij->pdiej", jnp.eye(d, dtype=dtype),
+                               E).reshape(E.shape[0], d * nb, d * nb)
+            Es.append(E)
+        mats = [A]
+        for l in range(len(handlers) - 2, -1, -1):
+            mats.insert(0, galerkin_coarsen(mats[0], Es[l], parents[l],
+                                            handlers[l].n_poly))
+        return mats, Es
+
+    mats, Es = _build(blocks)
+
+    # Neumann-block coarse deflation: a field block whose subdomain has
+    # no Dirichlet boundary (the pD block of darcy_stokes — reference
+    # darcy_stokes.cc imposes flux BCs on the Darcy side) is singular on
+    # the per-component constants.  The Galerkin-coarsened matrices keep
+    # that nullspace exactly (the embeddings reproduce constants), so
+    # the coarse dense LU is numerically singular and the V-cycle blows
+    # up.  Deflate: A_0 += sigma * Z Z^T with Z the (normalized)
+    # per-component constant vectors supported on the field's coarse
+    # polytopes — the standard rank-d fix that makes the coarse solve a
+    # bounded pseudo-inverse on range(A) (the coupled GMRES handles the
+    # constant direction through the off-diagonal coupling).
+    n0 = handlers[0].n_poly
+    bs = f.block
+    D0 = np.asarray(jax.jit(lambda m: m.to_dense())(mats[0]))
+    w = np.linalg.eigvalsh(0.5 * (D0 + D0.T))
+    if w[0] < 1e-10 * w[-1]:
+        # field membership at the coarsest level (the subdomain is
+        # hierarchy-aligned: every coarse poly is fully in or out)
+        a = act
+        for l in range(len(handlers) - 2, -1, -1):
+            ac = np.zeros(handlers[l].n_poly, dtype=bool)
+            ac[np.asarray(parents[l])[np.nonzero(a)[0]]] = True
+            a = ac
+        # coefficients of the constant function 1 in the (shared) basis
+        basis = handlers[0].basis
+        pts, wts = tensor_gauss(handlers[0].dim, handlers[0].degree + 1)
+        B = np.asarray(basis.eval(jnp.asarray(pts, dtype=dtype)))
+        wq = np.asarray(wts)
+        c0 = np.linalg.solve(np.einsum("qi,qj,q->ij", B, B, wq),
+                             B.T @ wq)
+        Z = np.zeros((n0, d, nb, d))
+        for comp in range(d):
+            Z[a, comp, :, comp] = c0
+        Z = Z.reshape(n0 * bs, d)
+        Z /= np.linalg.norm(Z, axis=0, keepdims=True)
+        sigma = np.trace(D0) / D0.shape[0]
+        D = D0 + sigma * (Z @ Z.T)
+        ri = np.repeat(np.arange(n0), n0)
+        ci = np.tile(np.arange(n0), n0)
+        data0 = jnp.asarray(
+            D.reshape(n0, bs, n0, bs).transpose(0, 2, 1, 3).reshape(
+                n0 * n0, bs, bs), dtype=dtype)
+        mats[0] = BlockMatrix.from_blocks(ri, ci, data0, n0)
+
+    transfers = [
+        Transfer(E=Es[l], parent=parents[l], n_coarse=handlers[l].n_poly)
+        for l in range(len(handlers) - 1)
+    ]
+    return Multigrid.setup(mats, transfers, chebyshev_degree=chebyshev_degree,
+                           n_smooth=n_smooth, smoothing_range=smoothing_range,
                            coarse_solver=coarse_solver)

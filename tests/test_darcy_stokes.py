@@ -160,8 +160,10 @@ def test_mg_preconditioned_solve_mesh_robust():
                     / jnp.abs(x_dense).max())
         assert err < 1e-6, (n, err)
         iters[n] = int(res.iterations)
-    # measured: 77 -> 140 (ratio 1.8, decelerating: 140 -> 219 = 1.56 at
-    # n=32); plain block-Jacobi grows faster and from a higher base.
+    # measured (source='system', the true-diagonal-block Galerkin MG):
+    # 52 -> 116 -> 165 over n=8/16/32 (ratios 2.23, 1.42 — strongly
+    # decelerating), vs the scalar-SIPG proxy's 77 -> 140 -> 219 and
+    # plain block-Jacobi's faster-than-2x growth from a higher base.
     # Guard the measured behavior with headroom:
-    assert iters[8] <= 120, iters
-    assert iters[16] <= 2.0 * iters[8], iters
+    assert iters[8] <= 75, iters
+    assert iters[16] <= 2.4 * iters[8], iters
