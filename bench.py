@@ -37,7 +37,8 @@ def _read(x):
 
 
 def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
-                  cheb_deg: int, n_smooth: int, precond: str):
+                  cheb_deg: int, n_smooth: int, precond: str,
+                  vector: str = "none"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -96,6 +97,11 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
     A0 = jax.jit(lambda t: assemble_sipg_banded_direct(
         ah, t, offsets=band_offsets))(groups)
     pdt = None if precond in ("", "none") else getattr(jnp, precond)
+    # vector_dtype stays None by default: bf16 smoothing VECTORS were
+    # measured to cost 2-3x the CG iterations (55-96 vs 20-24) for an
+    # x-side-only traffic saving — a net 1.6-2.5x slowdown.  bf16 is
+    # applied to the matrix band copies (precond_dtype) instead.
+    vdt = None if vector in ("", "none") else getattr(jnp, vector)
 
     def _sched(v):
         # "5" = every level; "5,2" = finest level 5, coarser levels 2
@@ -110,7 +116,8 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
                          grid_shapes=grid_shapes,
                          chebyshev_degree=_sched(cheb_deg),
                          n_smooth=_sched(n_smooth),
-                         precond_dtype=pdt, level_assembly="banded",
+                         precond_dtype=pdt, vector_dtype=vdt,
+                         level_assembly="banded",
                          coarse_solver=coarse_solver)
 
     packed = hierarchy == "rtree"
@@ -142,6 +149,11 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         return e
 
     mg.ells[-1] = _strip(mg.ells[-1])
+    if mg.lo_ells is not None:
+        # the lo fine-level copy is refreshed inside the fused program —
+        # strip the setup-time one too (it would otherwise ride in as a
+        # traced argument, a duplicate fine band in HBM)
+        mg.lo_ells[-1] = _strip(mg.lo_ells[-1])
 
     fmg = os.environ.get("BENCH_FMG", "1") == "1"
 
@@ -154,8 +166,17 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         b = assemble_rhs_direct(ah, tabs, f, u_ex) * scale
         if packed:
             m.ells[-1] = A_band.to_packed(plan, oid_dev)
+            if m.lo_ells is not None:
+                # packed levels reuse the full-precision object (bf16
+                # packed kernel measured slower on v5e)
+                m.lo_ells[-1] = m.ells[-1]
         else:
             m.ells[-1] = A_band.with_imajor(drop_omajor=True)
+            if m.lo_ells is not None:
+                m.lo_ells[-1] = (
+                    A_band if pdt is None else _BB(
+                        A_band.data.astype(pdt), A_band.offsets,
+                        A_band.n_block_cols)).with_imajor(drop_omajor=True)
         return m.solve_cg(b, rtol=rtol, maxiter=100, fmg=fmg)
 
     _log(f"bench[{hierarchy}]: setup built, compiling fused program...")
@@ -239,6 +260,7 @@ def main():
     cheb_deg = os.environ.get("BENCH_CHEB_DEG", "5")  # "5" or "fine,coarse"
     n_smooth = os.environ.get("BENCH_NSMOOTH", "1")
     precond = os.environ.get("BENCH_PRECOND_DTYPE", "bfloat16")
+    vector = os.environ.get("BENCH_VECTOR_DTYPE", "none")
 
     import jax
 
@@ -250,13 +272,14 @@ def main():
     }
     _log("bench: rtree poisson...")
     rtree = bench_poisson("rtree", n, degree, rtol, cheb_deg, n_smooth,
-                          precond)
+                          precond, vector)
     _log(f"bench: rtree done {rtree}")
     detail["rtree"] = rtree
     if os.environ.get("BENCH_SKIP_STRUCTURED", "") != "1":
         _log("bench: structured poisson...")
         detail["structured"] = bench_poisson(
-            "structured", n, degree, rtol, cheb_deg, n_smooth, precond)
+            "structured", n, degree, rtol, cheb_deg, n_smooth, precond,
+            vector)
         _log(f"bench: structured done {detail['structured']}")
     if os.environ.get("BENCH_SKIP_MONODOMAIN", "") != "1":
         import math

@@ -437,9 +437,17 @@ class Multigrid:
     dinvs_t: list = field(default_factory=list)  # [nb,P] per level (or flat)
     los: list = field(default_factory=list)  # smoothing interval lo per level
     his: list = field(default_factory=list)
-    # optional low-precision copies for the PRECONDITIONER only (bf16
-    # V-cycle + f32 CG operator: validated 22% faster, converges to the
-    # same 1e-8 tolerance — the preconditioner may be inexact)
+    # optional low-precision copies for the PRECONDITIONER only.  Two
+    # independent knobs (measured on v5e, 1M-DoF 3D SIPG to 1e-8):
+    #   precond_dtype — the MATRIX band copies.  The band is the
+    #     dominant SpMV traffic (nb*n_off*nb rows vs nb vector rows), so
+    #     bf16 here halves smoother bandwidth at no iteration cost
+    #     (24 iters, same as f32).
+    #   vector_dtype — the smoothing VECTORS (Chebyshev recurrence,
+    #     residuals inside the cycle).  bf16 here saves only the x-side
+    #     traffic but costs 2-3x the CG iterations (55-96 vs 20-24) —
+    #     a large net loss; keep None (= operator dtype) unless a
+    #     specific level mix proves otherwise.
     lo_ells: list | None = None
     lo_dinvs: list | None = None
 
@@ -465,6 +473,7 @@ class Multigrid:
         n_smooth: int | tuple = 5,
         smoothing_range: float = 15.0,
         precond_dtype=None,
+        vector_dtype=None,
         fine_op=None,
         coarse_solver: str = "lu",
     ) -> "Multigrid":
@@ -473,7 +482,14 @@ class Multigrid:
         ``matrices`` for the coarse levels only in that case.
 
         ``chebyshev_degree`` / ``n_smooth`` accept a per-level sequence
-        (coarsest first, one entry per level; entry 0 is unused)."""
+        (coarsest first, one entry per level; entry 0 is unused).
+
+        ``precond_dtype`` makes low-precision MATRIX copies for the
+        smoother's SpMV (the band dominates traffic — bf16 is free in
+        iterations); ``vector_dtype`` additionally runs the smoothing
+        VECTORS low-precision (measured 2-3x the CG iterations on v5e —
+        see the field comment; default None keeps vectors at the
+        operator dtype)."""
         n_lv = len(matrices) + (1 if fine_op is not None else 0)
 
         def _norm(v, name):
@@ -567,7 +583,15 @@ class Multigrid:
             # output, which would silently duplicate the band in HBM.
             lo_ells = [e if isinstance(e, (MatrixFreeLevel, _BP))
                        else jax.jit(_lo)(e) for e in ells]
-            lo_dinvs = [None] + [d.astype(precond_dtype) for d in dinvs[1:]]
+            # lo_dinvs carries the smoothing VECTOR dtype: _cycle casts b
+            # to it, and the sharded builder reads its dtype as lo_vec
+            vdt = vector_dtype
+            lo_dinvs = [None] + [
+                d if vdt is None else d.astype(vdt) for d in dinvs[1:]]
+        elif vector_dtype is not None:
+            lo_ells = list(ells)
+            lo_dinvs = [None] + [d.astype(vector_dtype)
+                                 for d in dinvs[1:]]
         return cls(
             matrices=matrices,
             transfers=transfers,
@@ -617,12 +641,12 @@ class Multigrid:
         A = (self.lo_ells if use_lo else self.ells)[level]
         is_t = b.ndim == 2
         if use_lo:
-            # smoothing runs in the PRECOND dtype (lo_dinvs carries it)
-            # even when the level operator keeps an f32 band: the packed
-            # kernel takes bf16 x with an f32 band (accumulating f32),
-            # and x-side traffic — the padded/rolled copies — is what
-            # the low-precision smoother saves (measured 0.36 vs 0.58 ms
-            # per 1M-DoF packed SpMV on v5e)
+            # smoothing vectors run in the VECTOR dtype (lo_dinvs carries
+            # it; = the operator dtype unless vector_dtype was set).  A
+            # bf16 vector sweep saves the x-side traffic (0.36 vs 0.58 ms
+            # per 1M-DoF packed SpMV on v5e) but was measured to cost
+            # 2-3x the CG iterations — the matrix-copy dtype
+            # (precond_dtype) is where low precision pays.
             b = b.astype(self.lo_dinvs[level].dtype)
         mv = A.matvec_t if is_t else A.matvec
         dinv = (self.lo_dinvs if use_lo else self.dinvs_t)[level]
@@ -800,6 +824,7 @@ def build_multigrid(
     mode: str = "direct",
     grid_shapes: list | None = None,
     precond_dtype=None,
+    vector_dtype=None,
     dtype=jnp.float64,
     matfree_fine: bool = False,
     level_assembly: str = "tables",
@@ -932,7 +957,8 @@ def build_multigrid(
     return Multigrid.setup(matrices, transfers,
                            chebyshev_degree=chebyshev_degree,
                            n_smooth=n_smooth, smoothing_range=smoothing_range,
-                           precond_dtype=precond_dtype, fine_op=fine_op,
+                           precond_dtype=precond_dtype,
+                           vector_dtype=vector_dtype, fine_op=fine_op,
                            coarse_solver=coarse_solver)
 
 

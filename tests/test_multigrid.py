@@ -272,12 +272,14 @@ def test_precond_dtype_low_precision_converges():
         ah, build_banded_groups(ah, offs, jnp.float64), offsets=offs,
         use_pallas=False)
     for pack in (False, True):
-        # bf16 wiring (no execution — see docstring)
+        # bf16 wiring (no execution — see docstring).  precond_dtype
+        # alone lowers only the MATRIX copies; vectors stay at the
+        # operator dtype (bf16 vectors measured 2-3x the iterations)
         mg16 = build_multigrid(handlers, parents, A_band if pack else A,
                                level_assembly="banded",
                                pack=pack, precond_dtype=jnp.bfloat16)
         assert mg16.lo_ells is not None
-        assert mg16.lo_dinvs[-1].dtype == jnp.bfloat16
+        assert mg16.lo_dinvs[-1].dtype == mg16.dinvs_t[-1].dtype
         if pack:
             # packed levels must REUSE the full-precision operator object
             # (bf16 packed kernel measured slower on v5e; no dup band)
@@ -286,11 +288,20 @@ def test_precond_dtype_low_precision_converges():
         else:
             assert mg16.lo_ells[-1].data.dtype == jnp.bfloat16
         del mg16
+        # vector_dtype additionally lowers the smoothing vectors
+        mg16v = build_multigrid(handlers, parents, A_band if pack else A,
+                                level_assembly="banded",
+                                pack=pack, precond_dtype=jnp.bfloat16,
+                                vector_dtype=jnp.bfloat16)
+        assert mg16v.lo_dinvs[-1].dtype == jnp.bfloat16
+        del mg16v
         # f32-precond solve: the same lo-policy code paths, executable
-        # on CPU at normal compile cost
+        # on CPU at normal compile cost (vectors AND matrix copies f32
+        # against the f64 operator — a genuinely inexact preconditioner)
         mg = build_multigrid(handlers, parents, A_band if pack else A,
                              level_assembly="banded",
-                             pack=pack, precond_dtype=jnp.float32)
+                             pack=pack, precond_dtype=jnp.float32,
+                             vector_dtype=jnp.float32)
         res = mg.solve_cg(b, rtol=1e-9)
         assert float(res.residual) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
         # an inexact (f32) preconditioner may cost a few extra CG

@@ -259,14 +259,25 @@ def test_sharded_lo_precond_matches_host():
     b = assemble_rhs(ah, lambda x: 2 * jnp.pi**2 * u_ex(x), u_ex)
     mg16 = build_multigrid(handlers, parents, A, grid_shapes=gs,
                            level_assembly="banded",
-                           precond_dtype=jnp.bfloat16)
+                           precond_dtype=jnp.bfloat16,
+                           vector_dtype=jnp.bfloat16)
     ss16 = ShardedBandedSystem.from_multigrid(mg16, make_mesh(8))
     assert ss16.lo_vec == jnp.bfloat16
     assert any(lv.has_lo for lv in ss16.levels)
     del mg16, ss16
+    # matrix copies low, vectors kept at the operator dtype (the
+    # production default: bf16 vectors cost 2-3x the iterations)
+    mg16m = build_multigrid(handlers, parents, A, grid_shapes=gs,
+                            level_assembly="banded",
+                            precond_dtype=jnp.bfloat16)
+    ss16m = ShardedBandedSystem.from_multigrid(mg16m, make_mesh(8))
+    assert ss16m.lo_vec == A.data.dtype  # vectors stay full precision
+    assert any(lv.has_lo for lv in ss16m.levels)
+    del mg16m, ss16m
     mg = build_multigrid(handlers, parents, A, grid_shapes=gs,
                          level_assembly="banded",
-                         precond_dtype=jnp.float32)
+                         precond_dtype=jnp.float32,
+                         vector_dtype=jnp.float32)
     r_host = mg.solve_cg(b, rtol=1e-9)
     assert float(r_host.residual) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
     ss = ShardedBandedSystem.from_multigrid(mg, make_mesh(8))
