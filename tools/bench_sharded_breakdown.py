@@ -5,9 +5,9 @@ The chains run INSIDE one shard_map program (the flat->transposed layout
 conversion happens once, exactly like solve_cg), so the numbers isolate
 the per-application cost of the sharded matvec / V-cycle themselves.
 """
-import os, sys as _sys
-_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import sys, time
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
 import numpy as np
 import jax, jax.numpy as jnp
 from functools import partial
@@ -86,10 +86,10 @@ c = sharded_chain_cost(lambda v, lv, rep: ss._matvec(fine, lv[-1], v))
 log(f"sharded fine matvec f32: {c*1e3:.3f} ms")
 
 if mg.lo_ells is not None:
-    log(f"host lo matvec bf16:     {chained_cost(lambda v: mg.lo_ells[-1].matvec_t(v), xt)*1e3:.3f} ms")
+    log(f"host lo matvec (bf16 band, f32 x):    {chained_cost(lambda v: mg.lo_ells[-1].matvec_t(v), xt)*1e3:.3f} ms")
     c = sharded_chain_cost(
         lambda v, lv, rep: ss._matvec(fine, lv[-1], v, lo=True).astype(v.dtype))
-    log(f"sharded lo matvec (f32 x): {c*1e3:.3f} ms")
+    log(f"sharded lo matvec (bf16 band, f32 x): {c*1e3:.3f} ms")
 
 # --- one fine-level smooth (cheb deg 5) ---
 c = sharded_chain_cost(
