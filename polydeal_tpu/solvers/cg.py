@@ -56,9 +56,12 @@ def cg_solve(
     """
     if M is None:
         M = lambda r: r
-    x = jnp.zeros_like(b) if x0 is None else x0
-
-    r = b - A(x)
+    if x0 is None:  # zero guess: r0 = b, no operator apply needed
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = x0
+        r = b - A(x0)
     z = M(r)
     p = z
     rz = jnp.vdot(r, z)

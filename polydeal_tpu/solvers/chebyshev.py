@@ -41,15 +41,28 @@ def estimate_lambda_max(A: Callable, Minv: Callable, n: int, iters: int = 20,
 @dataclass
 class ChebyshevSmoother:
     """Degree-k Chebyshev iteration targeting the interval [lo, hi] of the
-    preconditioned spectrum (standard three-term recurrence)."""
+    preconditioned spectrum (standard three-term recurrence).
+
+    ``step_fn(x, d, c1, c2) -> (x', d')`` is an optional FUSED step
+    implementing ``d' = c1*d + c2*Minv(b - A x); x' = x + d'`` with b
+    bound by the caller (the Pallas fused-Chebyshev kernels,
+    ops/fused_cheb.py) — one kernel dispatch per step instead of an SpMV
+    plus a chain of elementwise ops.  ``d=None`` marks the first step
+    (c1 unused).
+
+    ``x_is_zero=True`` on call skips the first operator apply
+    (A·0 = 0): the pre-smoother always starts from zero, so this saves
+    one SpMV per level per V-cycle."""
 
     A: Callable
     Minv: Callable
     lo: float | jnp.ndarray
     hi: float | jnp.ndarray
     degree: int = 3
+    step_fn: Callable | None = None
 
-    def __call__(self, b: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, b: jnp.ndarray, x: jnp.ndarray,
+                 x_is_zero: bool = False) -> jnp.ndarray:
         theta = 0.5 * (self.hi + self.lo)
         delta = 0.5 * (self.hi - self.lo)
         sigma = theta / delta
@@ -61,10 +74,23 @@ class ChebyshevSmoother:
         def cast(s):
             return jnp.asarray(s).astype(b.dtype)
 
-        r = b - self.A(x)
+        if self.step_fn is not None:
+            if x_is_zero:  # d = Minv(b)/theta, x = 0 + d: elementwise only
+                d = self.Minv(b) * cast(1.0 / theta)
+                x = d
+            else:
+                x, d = self.step_fn(x, None, 0.0, 1.0 / theta)
+            rho_old = 1.0 / sigma
+            for _ in range(self.degree - 1):
+                rho = 1.0 / (2.0 * sigma - rho_old)
+                x, d = self.step_fn(x, d, rho * rho_old, 2.0 * rho / delta)
+                rho_old = rho
+            return x
+
+        r = b if x_is_zero else b - self.A(x)
         z = self.Minv(r)
         d = z * cast(1.0 / theta)
-        x = x + d
+        x = x + d if not x_is_zero else d
         rho_old = 1.0 / sigma
         for _ in range(self.degree - 1):
             rho = 1.0 / (2.0 * sigma - rho_old)

@@ -341,6 +341,37 @@ def build_structured_hierarchy(
     return handlers, parents, grid_shapes
 
 
+def near_only_pack(e, tile: int | None = None):
+    """NEAR-ONLY smoother copy of a packed level: repack under a plan
+    whose offsets are capped at the kernel tile T, DROPPING the far
+    (|offset| > T) couplings instead of extracting them as a block-COO
+    tail.  Returns None when nothing would be dropped (the level then
+    smooths with its exact operator).
+
+    The smoother is a preconditioner component — it does not need the
+    exact operator, only its high-frequency action; the dropped blocks
+    are the SFC ordering's slab-crossing tail (~4% of blocks at the 3D
+    R-tree leaf level) whose x windows (pre-rolled copies) account for
+    ~40% of the packed SpMV's HBM traffic.  V-cycle residuals and the
+    CG operator keep the full matrix."""
+    from polydeal_tpu.ops.packed import build_pack_plan, pick_tile_packed
+    from polydeal_tpu.sparse import BlockPacked
+
+    if not isinstance(e, BlockPacked) or e.far_data is not None:
+        return None
+    plan = e.plan
+    P, nb = e.n_block_rows, e.n_basis
+    T = tile if tile is not None else pick_tile_packed(
+        P, nb * plan.R_pad, e.data_i.dtype.itemsize)
+    if T is None or all(abs(o) <= T for o in plan.offsets):
+        return None
+    src, dst = e.sparsity_pairs()
+    plan2, oid2, _, _ = build_pack_plan(
+        src, dst, P, nb, offsets=np.asarray(plan.offsets, dtype=np.int64),
+        near_limit=T)
+    return jax.jit(lambda m, o: m.repack(plan2, o))(e, jnp.asarray(oid2))
+
+
 class _ById:
     """Identity-keyed static wrapper (pytree aux for host-side objects)."""
 
@@ -450,19 +481,58 @@ class Multigrid:
     #     specific level mix proves otherwise.
     lo_ells: list | None = None
     lo_dinvs: list | None = None
+    # fused Chebyshev smoothing (ops/fused_cheb.py): None = auto (TPU
+    # backend + supporting level format), True = force (interpret-mode
+    # kernels on CPU — tests), False = composed-op smoothing only
+    fused_smoother: bool | None = None
+    # optional SMOOTHER-ONLY level operators (entry None = use the
+    # lo/full operator).  Built by setup(smoother_far='drop'): packed
+    # levels whose plan holds |offset| > tile couplings get a NEAR-ONLY
+    # repack here — the smoother then runs roll-free (the far windows
+    # are pre-rolled x copies, ~40% of the packed SpMV's HBM traffic at
+    # the 3D R-tree leaf level) while V-cycle residuals and CG keep the
+    # exact operator.  Dropping weak long-range couplings from the
+    # smoother (not the residual!) is the standard inexact-smoother
+    # trade; measure iterations before enabling by default.
+    sm_ells: list | None = None
 
     def tree_flatten(self):
         dyn = (self.matrices, self.transfers, self.coarse_lu, self.ells,
-               self.dinvs_t, self.los, self.his, self.lo_ells, self.lo_dinvs)
-        return dyn, (self.n_smooth, self.chebyshev_degree)
+               self.dinvs_t, self.los, self.his, self.lo_ells,
+               self.lo_dinvs, self.sm_ells)
+        return dyn, (self.n_smooth, self.chebyshev_degree,
+                     self.fused_smoother)
 
     @classmethod
     def tree_unflatten(cls, aux, dyn):
         obj = cls.__new__(cls)
         (obj.matrices, obj.transfers, obj.coarse_lu, obj.ells,
-         obj.dinvs_t, obj.los, obj.his, obj.lo_ells, obj.lo_dinvs) = dyn
-        obj.n_smooth, obj.chebyshev_degree = aux
+         obj.dinvs_t, obj.los, obj.his, obj.lo_ells, obj.lo_dinvs,
+         obj.sm_ells) = dyn
+        obj.n_smooth, obj.chebyshev_degree = aux[:2]
+        obj.fused_smoother = aux[2] if len(aux) > 2 else None
         return obj
+
+    def _fused_ok(self, A, b, dinv=None) -> bool:
+        """Fused-kernel eligibility for this level operator + layout."""
+        if self.fused_smoother is False or b.ndim != 2:
+            return False
+        if dinv is not None and dinv.ndim != 2:
+            return False
+        if b.dtype not in (jnp.float32, jnp.float64):
+            return False
+        if not (hasattr(A, "fused_cheb_ok") and A.fused_cheb_ok()):
+            return False
+        return (self.fused_smoother is True
+                or jax.default_backend() == "tpu")
+
+    def _residual(self, A, x, b):
+        """r = b - A x, via the fused Pallas kernel when eligible."""
+        if self._fused_ok(A, b):
+            return A.residual_t(
+                x, b, interpret=jax.default_backend() != "tpu")
+        mv = A.matvec_t if b.ndim == 2 else A.matvec
+        return b - mv(x)
 
     @classmethod
     def setup(
@@ -476,6 +546,8 @@ class Multigrid:
         vector_dtype=None,
         fine_op=None,
         coarse_solver: str = "lu",
+        fused_smoother: bool | None = None,
+        smoother_far: str = "exact",
     ) -> "Multigrid":
         """``fine_op`` (a matrix-free operator with apply/diagonal, e.g.
         MatrixFreeLaplace) replaces the finest assembled level; pass
@@ -604,6 +676,10 @@ class Multigrid:
             his=his,
             lo_ells=lo_ells,
             lo_dinvs=lo_dinvs,
+            fused_smoother=fused_smoother,
+            sm_ells=(
+                [None] + [near_only_pack(e) for e in ells[1:]]
+                if smoother_far == "drop" else None),
         )
 
     @property
@@ -639,6 +715,11 @@ class Multigrid:
             return solve(bl).astype(b.dtype)
         use_lo = self.lo_ells is not None
         A = (self.lo_ells if use_lo else self.ells)[level]
+        # smoother may use an inexact (near-only) operator; residuals
+        # below stay on A (the lo/full operator) — see sm_ells
+        A_sm = A
+        if self.sm_ells is not None and self.sm_ells[level] is not None:
+            A_sm = self.sm_ells[level]
         is_t = b.ndim == 2
         if use_lo:
             # smoothing vectors run in the VECTOR dtype (lo_dinvs carries
@@ -649,6 +730,7 @@ class Multigrid:
             # (precond_dtype) is where low precision pays.
             b = b.astype(self.lo_dinvs[level].dtype)
         mv = A.matvec_t if is_t else A.matvec
+        mv_sm = A_sm.matvec_t if is_t else A_sm.matvec
         dinv = (self.lo_dinvs if use_lo else self.dinvs_t)[level]
         if not is_t and dinv.ndim == 2:
             dinv = dinv.T.reshape(-1)
@@ -657,13 +739,22 @@ class Multigrid:
                else self.chebyshev_degree)
         ns = (self.n_smooth[level] if isinstance(self.n_smooth, tuple)
               else self.n_smooth)
-        sm = ChebyshevSmoother(A=mv, Minv=lambda r, d=dinv: d * r,
+        step_fn = None
+        if self._fused_ok(A_sm, b, dinv):
+            interp = jax.default_backend() != "tpu"
+            # b is bound by closure: every sm(b, ...) call below passes
+            # the same level rhs
+            step_fn = (lambda xx, dd, c1, c2: A_sm.cheb_step_t(
+                xx, dd, b, dinv, c1, c2, interpret=interp))
+        sm = ChebyshevSmoother(A=mv_sm, Minv=lambda r, d=dinv: d * r,
                                lo=self.los[level], hi=self.his[level],
-                               degree=deg)
+                               degree=deg, step_fn=step_fn)
         x = jnp.zeros_like(b)
+        first = True
         for _ in range(ns):
-            x = sm(b, x)
-        r = b - mv(x)
+            x = sm(b, x, x_is_zero=first)  # pre-smooth starts from zero
+            first = False
+        r = self._residual(A, x, b)
         t = self.transfers[level - 1]
         down_t = self._is_t(level - 1) and (
             t._uniform_C > 0 or t.grid_shape is not None)
@@ -730,9 +821,8 @@ class Multigrid:
             # one V-cycle defect correction; the residual uses the TRUE
             # (full-precision) level operator, like CG's outer loop
             A = self.ells[level]
-            mv = A.matvec_t if bl.ndim == 2 else A.matvec
             x = x.astype(bl.dtype)
-            r = bl - mv(x)
+            r = self._residual(A, x, bl)
             x = x + self._cycle(level, r).astype(x.dtype)
         return x
 
@@ -832,6 +922,8 @@ def build_multigrid(
     pack_near_limit: int | None = None,
     device_mesh=None,
     coarse_solver: str = "lu",
+    fused_smoother: bool | None = None,
+    smoother_far: str = "exact",
 ) -> Multigrid:
     """Assemble the full MG preconditioner from a handler chain and the
     finest-level matrix.
@@ -959,7 +1051,9 @@ def build_multigrid(
                            n_smooth=n_smooth, smoothing_range=smoothing_range,
                            precond_dtype=precond_dtype,
                            vector_dtype=vector_dtype, fine_op=fine_op,
-                           coarse_solver=coarse_solver)
+                           coarse_solver=coarse_solver,
+                           fused_smoother=fused_smoother,
+                           smoother_far=smoother_far)
 
 
 def build_field_block_multigrid(

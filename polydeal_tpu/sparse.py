@@ -401,6 +401,33 @@ class BlockBanded:
         y = self.matvec_t(xt)
         return y.T.reshape(-1) if x.ndim == 1 else y.T
 
+    def fused_cheb_ok(self) -> bool:
+        """Fused smoothing needs the i-major copy + a valid lane tile."""
+        if self.data_i is None:
+            return False
+        from polydeal_tpu.ops.banded import pick_tile
+
+        return pick_tile(self.n_block_rows, self.data_i.shape[0],
+                         self.data_i.dtype.itemsize) is not None
+
+    def cheb_step_t(self, xt, dvec, b, dinv, c1, c2, *,
+                    interpret: bool = False):
+        """Fused Chebyshev step (ops/fused_cheb.py):
+        d' = c1*d + c2*dinv*(b - A x); x' = x + d'.  dvec=None = first
+        step.  Transposed [nb, P] layout throughout."""
+        from polydeal_tpu.ops.fused_cheb import banded_cheb_step_t
+
+        return banded_cheb_step_t(self.data_i, self.offsets, self.n_basis,
+                                  xt, dvec, b, dinv, c1, c2,
+                                  interpret=interpret)
+
+    def residual_t(self, xt, b, *, interpret: bool = False):
+        """Fused r = b - A x in the transposed layout."""
+        from polydeal_tpu.ops.fused_cheb import banded_residual_t
+
+        return banded_residual_t(self.data_i, self.offsets, self.n_basis,
+                                 xt, b, interpret=interpret)
+
     def __matmul__(self, x):
         return self.matvec(x)
 
@@ -645,6 +672,32 @@ class BlockPacked:
         xt = x.reshape(P, nb).T
         y = self.matvec_t(xt)
         return y.T.reshape(-1) if x.ndim == 1 else y.T
+
+    def fused_cheb_ok(self) -> bool:
+        """Fused smoothing covers full-coloring packs only (an explicit
+        far block-COO tail would be missing from the kernel's A-apply)."""
+        from polydeal_tpu.ops.packed import pick_tile_packed
+
+        return self.far_data is None and pick_tile_packed(
+            self.n_block_rows, self.plan.nb * self.plan.R_pad,
+            self.data_i.dtype.itemsize) is not None
+
+    def cheb_step_t(self, xt, dvec, b, dinv, c1, c2, *,
+                    interpret: bool = False):
+        """Fused Chebyshev step (ops/fused_cheb.py) — see
+        BlockBanded.cheb_step_t."""
+        from polydeal_tpu.ops.fused_cheb import packed_cheb_step_t
+
+        return packed_cheb_step_t(self.data_i, self.oid, self.plan, xt,
+                                  dvec, b, dinv, c1, c2,
+                                  interpret=interpret)
+
+    def residual_t(self, xt, b, *, interpret: bool = False):
+        """Fused r = b - A x in the transposed layout."""
+        from polydeal_tpu.ops.fused_cheb import packed_residual_t
+
+        return packed_residual_t(self.data_i, self.oid, self.plan, xt, b,
+                                 interpret=interpret)
 
     def __matmul__(self, x):
         return self.matvec(x)

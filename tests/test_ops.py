@@ -406,3 +406,147 @@ def test_halo_kernel_pinned_tile_bf16():
     ref = np.asarray(y32, dtype=np.float64)
     err = np.abs(np.asarray(y16, dtype=np.float64) - ref).max()
     assert err < 2e-2 * np.abs(ref).max()  # bf16 data tolerance
+
+
+def _cheb_step_ref(A_mv, xt, dvec, b, dinv, c1, c2):
+    """Composed-op reference of the fused Chebyshev step."""
+    z = dinv * (b - A_mv(xt))
+    d_new = (c2 * z) if dvec is None else (c1 * dvec + c2 * z)
+    return xt + d_new, d_new
+
+
+def test_fused_cheb_step_banded_interpret():
+    """The fused banded Chebyshev-step kernel (ops/fused_cheb.py) must
+    reproduce the composed SpMV + update chain, in both step modes and
+    the residual mode."""
+    offsets = np.array([-40, -7, -1, 0, 1, 7, 40])
+    nb, P = 4, 512
+    data, xt = _random_banded(len(offsets), nb, P, offsets)
+    from polydeal_tpu.sparse import BlockBanded
+
+    A = BlockBanded(jnp.asarray(data), offsets, P).with_imajor()
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal((nb, P)), dtype=jnp.float32)
+    dvec = jnp.asarray(rng.standard_normal((nb, P)), dtype=jnp.float32)
+    dinv = jnp.asarray(1.0 + rng.random((nb, P)), dtype=jnp.float32)
+    xt = jnp.asarray(xt)
+    c1, c2 = 0.37, 1.21
+    mv = lambda v: _ref_matvec(jnp.asarray(data), offsets, v)
+    for dv in (dvec, None):
+        x_ref, d_ref = _cheb_step_ref(mv, xt, dv, b, dinv, c1, c2)
+        x_got, d_got = A.cheb_step_t(xt, dv, b, dinv, c1, c2,
+                                     interpret=True)
+        assert float(jnp.abs(x_ref - x_got).max()) < 1e-4 * float(
+            jnp.abs(x_ref).max())
+        assert float(jnp.abs(d_ref - d_got).max()) < 1e-4 * float(
+            jnp.abs(d_ref).max())
+    r_ref = b - mv(xt)
+    r_got = A.residual_t(xt, b, interpret=True)
+    assert float(jnp.abs(r_ref - r_got).max()) < 1e-4 * float(
+        jnp.abs(r_ref).max())
+
+
+def test_fused_cheb_step_packed_interpret():
+    """Fused packed Chebyshev step vs the composed packed SpMV + updates
+    on a real STR-ordered SIPG band (full coloring incl. far offsets)."""
+    from polydeal_tpu.ops.packed import build_pack_plan
+
+    ah, A, offs = _rtree_leaf_band()
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    plan, oid, _, _ = build_pack_plan(
+        ft.poly_in[interior], ft.poly_out[interior],
+        ah.n_poly, ah.n_basis, offsets=offs, near_limit=-1)
+    packed = A.to_packed(plan, jnp.asarray(oid))
+    assert packed.fused_cheb_ok()
+    nb, P = ah.n_basis, ah.n_poly
+    rng = np.random.default_rng(7)
+    xt = jnp.asarray(rng.standard_normal((nb, P)), dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nb, P)), dtype=jnp.float32)
+    dvec = jnp.asarray(rng.standard_normal((nb, P)), dtype=jnp.float32)
+    dinv = 1.0 / packed.diagonal_t()
+    c1, c2 = -0.25, 0.8
+    for dv in (dvec, None):
+        x_ref, d_ref = _cheb_step_ref(packed.matvec_t, xt, dv, b, dinv,
+                                      c1, c2)
+        x_got, d_got = packed.cheb_step_t(xt, dv, b, dinv, c1, c2,
+                                          interpret=True)
+        assert float(jnp.abs(x_ref - x_got).max()) < 1e-4 * float(
+            jnp.abs(x_ref).max())
+        assert float(jnp.abs(d_ref - d_got).max()) < 1e-4 * float(
+            jnp.abs(d_ref).max())
+    r_ref = b - packed.matvec_t(xt)
+    r_got = packed.residual_t(xt, b, interpret=True)
+    assert float(jnp.abs(r_ref - r_got).max()) < 1e-4 * float(
+        jnp.abs(r_ref).max())
+
+
+def test_fused_smoother_mg_solve_matches():
+    """A full MG-CG solve with fused_smoother=True (interpret-mode Pallas
+    smoothing on CPU) must match the composed-op solve."""
+    from polydeal_tpu.assembly.sipg import assemble_rhs_direct
+    from polydeal_tpu.solvers import build_multigrid
+
+    n, dim = 16, 2
+    mesh = pd.hyper_cube(dim, n)
+    handlers, parents, grid_shapes = build_structured_hierarchy(
+        mesh, n, degree=1, coarsest_side=4)
+    ah = handlers[-1]
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
+    offs = np.unique(np.concatenate([diffs, -diffs,
+                                     np.zeros(1, dtype=np.int64)]))
+    groups = build_banded_groups(ah, offs, jnp.float64)
+    A = assemble_sipg_banded_direct(ah, groups, offsets=offs,
+                                    use_pallas=False).with_imajor()
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    b = assemble_rhs_direct(ah, groups,
+                            lambda x: dim * jnp.pi**2 * u_ex(x), u_ex)
+    sols = {}
+    for fused in (False, True):
+        mg = build_multigrid(handlers, parents, A, dtype=jnp.float64,
+                             grid_shapes=grid_shapes,
+                             level_assembly="banded",
+                             fused_smoother=fused)
+        res = mg.solve_cg(b, rtol=1e-10, maxiter=60)
+        sols[fused] = (np.asarray(res.x), int(res.iterations))
+    x0, it0 = sols[False]
+    x1, it1 = sols[True]
+    assert abs(it0 - it1) <= 1  # identical math, round-off only
+    assert np.allclose(x0, x1, atol=1e-8 * max(1.0, np.abs(x0).max()))
+
+
+def test_near_only_smoother_pack():
+    """near_only_pack must drop exactly the |offset| > tile couplings:
+    full matvec == near matvec + dropped-band contributions."""
+    from polydeal_tpu.ops.packed import build_pack_plan
+    from polydeal_tpu.solvers.multigrid import near_only_pack
+
+    ah, A, offs = _rtree_leaf_band()
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    plan, oid, _, _ = build_pack_plan(
+        ft.poly_in[interior], ft.poly_out[interior],
+        ah.n_poly, ah.n_basis, offsets=offs, near_limit=-1)
+    packed = A.to_packed(plan, jnp.asarray(oid))
+    tile = 32
+    assert any(abs(o) > tile for o in plan.offsets)
+    near = near_only_pack(packed, tile=tile)
+    assert near is not None
+    assert all(abs(o) <= tile for o in near.plan.offsets)
+    assert near.far_data is None
+    rng = np.random.default_rng(11)
+    xt = jnp.asarray(rng.standard_normal((ah.n_basis, ah.n_poly)),
+                     dtype=jnp.float32)
+    y_full = packed.matvec_t(xt)
+    y_near = near.matvec_t(xt)
+    y_far = jnp.zeros_like(y_full)
+    for k, o in enumerate(offs):
+        if abs(int(o)) > tile:
+            xs = jnp.roll(xt, -int(o), axis=1)
+            y_far = y_far + jnp.einsum("ijp,jp->ip", A.data[k], xs)
+    err = float(jnp.abs(y_full - (y_near + y_far)).max())
+    assert err < 1e-5 * float(jnp.abs(y_full).max())
+    # a level with nothing beyond the kernel tile is left alone
+    assert near_only_pack(packed, tile=1 << 30) is None
