@@ -38,7 +38,7 @@ def _read(x):
 
 def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
                   cheb_deg: int, n_smooth: int, precond: str,
-                  vector: str = "none", smoother_far: str = "exact"):
+                  vector: str = "none"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -119,13 +119,15 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
                          precond_dtype=pdt, vector_dtype=vdt,
                          level_assembly="banded",
                          coarse_solver=coarse_solver,
-                         smoother_far=smoother_far)
+                         smoothing_range=float(os.environ.get(
+                             "BENCH_SMOOTH_RANGE", "20")),
+                         fused_smoother=(
+                             None if os.environ.get("BENCH_FUSED", "1")
+                             == "1" else False))
 
     packed = hierarchy == "rtree"
-    plan2 = oid2_dev = None
     if packed:
-        from polydeal_tpu.ops.packed import (build_pack_plan,
-                                             pick_tile_packed)
+        from polydeal_tpu.ops.packed import build_pack_plan
         from polydeal_tpu.sparse import BlockPacked
 
         assert isinstance(mg.ells[-1], BlockPacked), "packed path engaged"
@@ -133,16 +135,6 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
             ft.poly_in[interior], ft.poly_out[interior],
             ah.n_poly, ah.n_basis, offsets=band_offsets, near_limit=-1)
         oid_dev = jax.numpy.asarray(oid)
-        if smoother_far == "drop":
-            # NEAR-ONLY smoother plan for the fine level: far blocks are
-            # simply not extracted (to_packed without far rows) — the
-            # smoother then runs roll-free; residuals/CG keep `plan`
-            T = pick_tile_packed(ah.n_poly, ah.n_basis * plan.R_pad,
-                                 np.dtype(dtype).itemsize)
-            plan2, oid2, _, _ = build_pack_plan(
-                ft.poly_in[interior], ft.poly_out[interior],
-                ah.n_poly, ah.n_basis, offsets=band_offsets, near_limit=T)
-            oid2_dev = jax.numpy.asarray(oid2)
 
     # ONE jitted program: assembly (directly in the banded layout, then
     # packed for the wide-offset case) + MG-CG solve.  mg and the tables
@@ -167,8 +159,6 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         # strip the setup-time one too (it would otherwise ride in as a
         # traced argument, a duplicate fine band in HBM)
         mg.lo_ells[-1] = _strip(mg.lo_ells[-1])
-    if mg.sm_ells is not None and mg.sm_ells[-1] is not None:
-        mg.sm_ells[-1] = _strip(mg.sm_ells[-1])
 
     fmg = os.environ.get("BENCH_FMG", "1") == "1"
 
@@ -185,8 +175,6 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
                 # packed levels reuse the full-precision object (bf16
                 # packed kernel measured slower on v5e)
                 m.lo_ells[-1] = m.ells[-1]
-            if plan2 is not None:
-                m.sm_ells[-1] = A_band.to_packed(plan2, oid2_dev)
         else:
             m.ells[-1] = A_band.with_imajor(drop_omajor=True)
             if m.lo_ells is not None:
@@ -278,7 +266,6 @@ def main():
     n_smooth = os.environ.get("BENCH_NSMOOTH", "1")
     precond = os.environ.get("BENCH_PRECOND_DTYPE", "bfloat16")
     vector = os.environ.get("BENCH_VECTOR_DTYPE", "none")
-    smoother_far = os.environ.get("BENCH_SMOOTHER_FAR", "exact")
 
     import jax
 
@@ -290,14 +277,14 @@ def main():
     }
     _log("bench: rtree poisson...")
     rtree = bench_poisson("rtree", n, degree, rtol, cheb_deg, n_smooth,
-                          precond, vector, smoother_far)
+                          precond, vector)
     _log(f"bench: rtree done {rtree}")
     detail["rtree"] = rtree
     if os.environ.get("BENCH_SKIP_STRUCTURED", "") != "1":
         _log("bench: structured poisson...")
         detail["structured"] = bench_poisson(
             "structured", n, degree, rtol, cheb_deg, n_smooth, precond,
-            vector, smoother_far)
+            vector)
         _log(f"bench: structured done {detail['structured']}")
     if os.environ.get("BENCH_SKIP_MONODOMAIN", "") != "1":
         import math

@@ -1,10 +1,11 @@
-"""Export utilities: VTU, polygon CSV, MatrixMarket.
+"""Export utilities: VTU, polygon CSV, MatrixMarket, SVG grid dumps.
 
 Rebuild of the reference's I/O layer (reference include/poly_utils.h:
 861-891 ``export_polygon_to_csv_file``, :905-925
 ``write_to_matrix_market_format``; VTU/PVTU output in the examples, e.g.
-examples/poisson.cc:1003-1056) without deal.II's DataOut: plain writers
-over the array data model.
+examples/poisson.cc:1003-1056; SVG grid dumps colored by agglomerate,
+examples/poisson.cc:617-629) without deal.II's DataOut/GridOut: plain
+writers over the array data model.
 """
 
 from __future__ import annotations
@@ -15,6 +16,7 @@ __all__ = [
     "export_polygon_csv",
     "write_matrix_market",
     "write_vtu",
+    "write_svg",
 ]
 
 
@@ -48,6 +50,67 @@ def export_polygon_csv(handler, path: str):
         for r in rows:
             fh.write(f"{r[0]},{r[1]:.16g},{r[2]:.16g},{r[3]:.16g},{r[4]:.16g}\n")
     return len(rows)
+
+
+def write_svg(handler, path: str, width: int = 800):
+    """SVG dump of the 2D agglomerated grid, cells colored by polytope —
+    the analogue of the reference's ``GridOut::write_svg`` with
+    coloring by agglomerate (reference examples/poisson.cc:617-629).
+
+    Fine-cell edges are drawn thin, polytopal boundaries (edges whose two
+    cells belong to different polytopes, or domain boundary) thick."""
+    if handler.dim != 2:
+        raise NotImplementedError("SVG grid export is 2D")
+    mesh = handler.mesh
+    c2p = np.asarray(handler.cell2poly)
+    verts = np.asarray(mesh.vertices, dtype=float)
+    lo, hi = verts.min(axis=0), verts.max(axis=0)
+    ext = np.maximum(hi - lo, 1e-300)
+    scale = (width - 20) / ext.max()
+    H = int(ext[1] * scale) + 20
+
+    def xy(p):
+        # flip y: SVG's origin is top-left
+        return (10 + (p[0] - lo[0]) * scale, H - 10 - (p[1] - lo[1]) * scale)
+
+    # deterministic distinguishable colors per polytope (golden-angle hue)
+    def color(pid):
+        h = (pid * 0.618033988749895) % 1.0
+        i = int(h * 6)
+        f = h * 6 - i
+        v, p_, q, t = 255, int(255 * 0.45), int(255 * (1 - 0.55 * f)), \
+            int(255 * (0.45 + 0.55 * f))
+        rgb = [(v, t, p_), (q, v, p_), (p_, v, t),
+               (p_, q, v), (t, p_, v), (v, p_, q)][i % 6]
+        return f"rgb({rgb[0]},{rgb[1]},{rgb[2]})"
+
+    fv = mesh.face_vertex_ids()  # [n_c, 4, 2]
+    nbs = mesh.neighbors
+    cells = np.asarray(mesh.cells)
+    with open(path, "w") as fh:
+        fh.write(f'<svg xmlns="http://www.w3.org/2000/svg" '
+                 f'width="{width}" height="{H}">\n')
+        # fill each fine cell with its polytope color (vertex order
+        # 0,1,3,2 walks the quad boundary)
+        for c in range(mesh.n_cells):
+            pts = [xy(verts[cells[c, k]]) for k in (0, 1, 3, 2)]
+            d = " ".join(f"{x:.2f},{y:.2f}" for x, y in pts)
+            fh.write(f'<polygon points="{d}" fill="{color(int(c2p[c]))}" '
+                     'stroke="rgb(120,120,120)" stroke-width="0.3"/>\n')
+        # thick polytopal boundaries
+        for c in range(mesh.n_cells):
+            for f in range(4):
+                n = nbs[c, f]
+                if n >= 0 and c2p[n] == c2p[c]:
+                    continue
+                if 0 <= n < c:
+                    continue  # draw each interface once
+                (x0, y0), (x1, y1) = (xy(verts[v]) for v in fv[c, f])
+                fh.write(f'<line x1="{x0:.2f}" y1="{y0:.2f}" '
+                         f'x2="{x1:.2f}" y2="{y1:.2f}" '
+                         'stroke="black" stroke-width="1.6"/>\n')
+        fh.write("</svg>\n")
+    return handler.n_poly
 
 
 def write_matrix_market(A, path: str):

@@ -14,10 +14,11 @@ the whole x vector resident in VMEM.
 
 Lane alignment: Mosaic only allows 128-aligned dynamic lane slices, but
 band offsets are arbitrary (±1, ±m, ±m², …).  Each shifted window is
-therefore assembled from two ALIGNED tile loads combined with a lane
-rotate (`pltpu.roll`) and an iota select — a funnel shift:
-``off = q*T + r`` →  ``w = select(lane < T-r, roll(a, -r), roll(b, -r))``
-with a, b the tiles at t+q and t+q+1.
+therefore assembled from two ALIGNED tile loads combined with one iota
+select and ONE lane rotate (`pltpu.roll`) — a single-roll funnel shift:
+``off = q*T + r`` →  ``w = roll(select(lane < r, b, a), T - r)``
+with a, b the tiles at t+q and t+q+1 (w[l] = a[l+r] below T-r and
+b[l+r-T] above).
 
 Layout contract: data flattened to [n_off*nb*nb, P] (row-major over
 (o, i, j)); x in the transposed lane-aligned layout [nb, P]; f32
@@ -98,6 +99,7 @@ def _banded_matvec_imajor_impl(data_i, xpad, xfar, offsets_t, nb,
 
     def kernel(prev_ref, cur_ref, next_ref, far_ref, d_ref, out_ref):
         tiles = [prev_ref, cur_ref, next_ref]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
 
         def window(off):
             if off in far_idx:
@@ -107,11 +109,10 @@ def _banded_matvec_imajor_impl(data_i, xpad, xfar, offsets_t, nb,
             if r == 0:
                 return a
             b = tiles[q + 2][:, :]
-            # lane rotate by -r  ==  +(T - r) (pltpu.roll wants shift >= 0)
-            ar = pltpu.roll(a, T - r, axis=1)
-            br = pltpu.roll(b, T - r, axis=1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
-            return jnp.where(lane < T - r, ar, br)
+            # single-roll funnel: select the source tile per lane, then
+            # ONE rotate — w[l] = a[l+r] for l < T-r, b[l+r-T] above
+            c = jnp.where(lane < r, b, a)
+            return pltpu.roll(c, T - r, axis=1)
 
         Xg = jnp.concatenate([window(o) for o in offsets], axis=0)  # [R, T]
         if R_pad != R:
@@ -187,20 +188,18 @@ def _banded_matvec_impl(data2, xpad, offsets_t, nb, interpret):
 
     def kernel(x_ref, d_ref, out_ref):
         t = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
 
         def window(off):
             """[nb, T] slice of x starting at lane t*T + off (+halo),
-            from two aligned tile loads + funnel shift."""
+            from two aligned tile loads + a single-roll funnel shift."""
             q, r = divmod(off, T)
             a = x_ref[:, pl.ds((t + q) * T + Hp, T)]
             if r == 0:
                 return a
             b = x_ref[:, pl.ds((t + q + 1) * T + Hp, T)]
-            # lane rotate by -r  ==  +(T - r) (pltpu.roll wants shift >= 0)
-            ar = pltpu.roll(a, T - r, axis=1)
-            br = pltpu.roll(b, T - r, axis=1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
-            return jnp.where(lane < T - r, ar, br)
+            c = jnp.where(lane < r, b, a)
+            return pltpu.roll(c, T - r, axis=1)
 
         rows = []
         for i in range(nb):

@@ -57,7 +57,14 @@ def _acc_t(x):
 
 
 def _window_fn(jnp, jax, pltpu, tiles, far_ref, far_idx, T, nb, acc_t):
-    """window(off) -> [nb, T] shifted x view (shared funnel-shift logic)."""
+    """window(off) -> [nb, T] shifted x view (shared funnel-shift logic).
+
+    Single-roll funnel: select the source tile per lane FIRST
+    (c[l] = b[l] for l < r else a[l]), then one rotate — w = roll(c, T-r)
+    reads a[l+r] for l < T-r and b[l+r-T] above, the desired window.
+    Halves the rotate count vs rolling both tiles (the packed kernel is
+    VPU-bound on window construction at 37 offsets)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
 
     def window(off):
         if off in far_idx:
@@ -67,10 +74,8 @@ def _window_fn(jnp, jax, pltpu, tiles, far_ref, far_idx, T, nb, acc_t):
         if r == 0:
             return a
         b = tiles[q + 2][:, :].astype(acc_t)
-        ar = pltpu.roll(a, T - r, axis=1)
-        br = pltpu.roll(b, T - r, axis=1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
-        return jnp.where(lane < T - r, ar, br)
+        c = jnp.where(lane < r, b, a)
+        return pltpu.roll(c, T - r, axis=1)
 
     return window
 

@@ -211,6 +211,7 @@ def _packed_matvec_impl(data_i, oid, xpad, xfar, plan: PackPlan, interpret,
     def kernel(prev_ref, cur_ref, next_ref, far_ref, oid_ref, d_ref,
                out_ref):
         tiles = [prev_ref, cur_ref, next_ref]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
 
         def window(off):
             # tiles arrive in the x dtype (bf16 halves the HBM traffic of
@@ -224,11 +225,11 @@ def _packed_matvec_impl(data_i, oid, xpad, xfar, plan: PackPlan, interpret,
             if r == 0:
                 return a
             b = tiles[q + 2][:, :].astype(acc_t)
-            # lane rotate by -r == +(T - r) (pltpu.roll wants shift >= 0)
-            ar = pltpu.roll(a, T - r, axis=1)
-            br = pltpu.roll(b, T - r, axis=1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (nb, T), 1)
-            return jnp.where(lane < T - r, ar, br)
+            # single-roll funnel: select source per lane, ONE rotate
+            # (w[l] = a[l+r] below T-r, b[l+r-T] above — the kernel is
+            # VPU-bound on window construction at wide offset counts)
+            c = jnp.where(lane < r, b, a)
+            return pltpu.roll(c, T - r, axis=1)
 
         parts = []
         for k in range(K):

@@ -341,37 +341,6 @@ def build_structured_hierarchy(
     return handlers, parents, grid_shapes
 
 
-def near_only_pack(e, tile: int | None = None):
-    """NEAR-ONLY smoother copy of a packed level: repack under a plan
-    whose offsets are capped at the kernel tile T, DROPPING the far
-    (|offset| > T) couplings instead of extracting them as a block-COO
-    tail.  Returns None when nothing would be dropped (the level then
-    smooths with its exact operator).
-
-    The smoother is a preconditioner component — it does not need the
-    exact operator, only its high-frequency action; the dropped blocks
-    are the SFC ordering's slab-crossing tail (~4% of blocks at the 3D
-    R-tree leaf level) whose x windows (pre-rolled copies) account for
-    ~40% of the packed SpMV's HBM traffic.  V-cycle residuals and the
-    CG operator keep the full matrix."""
-    from polydeal_tpu.ops.packed import build_pack_plan, pick_tile_packed
-    from polydeal_tpu.sparse import BlockPacked
-
-    if not isinstance(e, BlockPacked) or e.far_data is not None:
-        return None
-    plan = e.plan
-    P, nb = e.n_block_rows, e.n_basis
-    T = tile if tile is not None else pick_tile_packed(
-        P, nb * plan.R_pad, e.data_i.dtype.itemsize)
-    if T is None or all(abs(o) <= T for o in plan.offsets):
-        return None
-    src, dst = e.sparsity_pairs()
-    plan2, oid2, _, _ = build_pack_plan(
-        src, dst, P, nb, offsets=np.asarray(plan.offsets, dtype=np.int64),
-        near_limit=T)
-    return jax.jit(lambda m, o: m.repack(plan2, o))(e, jnp.asarray(oid2))
-
-
 class _ById:
     """Identity-keyed static wrapper (pytree aux for host-side objects)."""
 
@@ -485,21 +454,22 @@ class Multigrid:
     # backend + supporting level format), True = force (interpret-mode
     # kernels on CPU — tests), False = composed-op smoothing only
     fused_smoother: bool | None = None
-    # optional SMOOTHER-ONLY level operators (entry None = use the
-    # lo/full operator).  Built by setup(smoother_far='drop'): packed
-    # levels whose plan holds |offset| > tile couplings get a NEAR-ONLY
-    # repack here — the smoother then runs roll-free (the far windows
-    # are pre-rolled x copies, ~40% of the packed SpMV's HBM traffic at
-    # the 3D R-tree leaf level) while V-cycle residuals and CG keep the
-    # exact operator.  Dropping weak long-range couplings from the
-    # smoother (not the residual!) is the standard inexact-smoother
-    # trade; measure iterations before enabling by default.
-    sm_ells: list | None = None
+    # NOTE (negative result, round 4): smoothing with a NEAR-ONLY
+    # operator (dropping the SFC ordering's |offset| > tile couplings
+    # from the smoother to skip their pre-rolled x windows, ~40% of the
+    # packed SpMV's HBM traffic) was built and measured — it DIVERGES.
+    # The "far" blocks are full-strength SIPG face couplings of
+    # geometric neighbors that are far only in index space: dropping
+    # them leaves unsmoothable interface modes (CG stalls at O(1)
+    # residual), diagonal compensation restores positive definiteness
+    # but not smoothing (still stalls), and flexible CG does not help.
+    # The smoother must see every face coupling; low precision
+    # (precond_dtype) is the legitimate traffic lever.
 
     def tree_flatten(self):
         dyn = (self.matrices, self.transfers, self.coarse_lu, self.ells,
                self.dinvs_t, self.los, self.his, self.lo_ells,
-               self.lo_dinvs, self.sm_ells)
+               self.lo_dinvs)
         return dyn, (self.n_smooth, self.chebyshev_degree,
                      self.fused_smoother)
 
@@ -507,8 +477,7 @@ class Multigrid:
     def tree_unflatten(cls, aux, dyn):
         obj = cls.__new__(cls)
         (obj.matrices, obj.transfers, obj.coarse_lu, obj.ells,
-         obj.dinvs_t, obj.los, obj.his, obj.lo_ells, obj.lo_dinvs,
-         obj.sm_ells) = dyn
+         obj.dinvs_t, obj.los, obj.his, obj.lo_ells, obj.lo_dinvs) = dyn
         obj.n_smooth, obj.chebyshev_degree = aux[:2]
         obj.fused_smoother = aux[2] if len(aux) > 2 else None
         return obj
@@ -547,7 +516,6 @@ class Multigrid:
         fine_op=None,
         coarse_solver: str = "lu",
         fused_smoother: bool | None = None,
-        smoother_far: str = "exact",
     ) -> "Multigrid":
         """``fine_op`` (a matrix-free operator with apply/diagonal, e.g.
         MatrixFreeLaplace) replaces the finest assembled level; pass
@@ -677,9 +645,6 @@ class Multigrid:
             lo_ells=lo_ells,
             lo_dinvs=lo_dinvs,
             fused_smoother=fused_smoother,
-            sm_ells=(
-                [None] + [near_only_pack(e) for e in ells[1:]]
-                if smoother_far == "drop" else None),
         )
 
     @property
@@ -715,11 +680,6 @@ class Multigrid:
             return solve(bl).astype(b.dtype)
         use_lo = self.lo_ells is not None
         A = (self.lo_ells if use_lo else self.ells)[level]
-        # smoother may use an inexact (near-only) operator; residuals
-        # below stay on A (the lo/full operator) — see sm_ells
-        A_sm = A
-        if self.sm_ells is not None and self.sm_ells[level] is not None:
-            A_sm = self.sm_ells[level]
         is_t = b.ndim == 2
         if use_lo:
             # smoothing vectors run in the VECTOR dtype (lo_dinvs carries
@@ -730,7 +690,6 @@ class Multigrid:
             # (precond_dtype) is where low precision pays.
             b = b.astype(self.lo_dinvs[level].dtype)
         mv = A.matvec_t if is_t else A.matvec
-        mv_sm = A_sm.matvec_t if is_t else A_sm.matvec
         dinv = (self.lo_dinvs if use_lo else self.dinvs_t)[level]
         if not is_t and dinv.ndim == 2:
             dinv = dinv.T.reshape(-1)
@@ -740,13 +699,13 @@ class Multigrid:
         ns = (self.n_smooth[level] if isinstance(self.n_smooth, tuple)
               else self.n_smooth)
         step_fn = None
-        if self._fused_ok(A_sm, b, dinv):
+        if self._fused_ok(A, b, dinv):
             interp = jax.default_backend() != "tpu"
             # b is bound by closure: every sm(b, ...) call below passes
             # the same level rhs
-            step_fn = (lambda xx, dd, c1, c2: A_sm.cheb_step_t(
+            step_fn = (lambda xx, dd, c1, c2: A.cheb_step_t(
                 xx, dd, b, dinv, c1, c2, interpret=interp))
-        sm = ChebyshevSmoother(A=mv_sm, Minv=lambda r, d=dinv: d * r,
+        sm = ChebyshevSmoother(A=mv, Minv=lambda r, d=dinv: d * r,
                                lo=self.los[level], hi=self.his[level],
                                degree=deg, step_fn=step_fn)
         x = jnp.zeros_like(b)
@@ -923,7 +882,6 @@ def build_multigrid(
     device_mesh=None,
     coarse_solver: str = "lu",
     fused_smoother: bool | None = None,
-    smoother_far: str = "exact",
 ) -> Multigrid:
     """Assemble the full MG preconditioner from a handler chain and the
     finest-level matrix.
@@ -1052,8 +1010,7 @@ def build_multigrid(
                            precond_dtype=precond_dtype,
                            vector_dtype=vector_dtype, fine_op=fine_op,
                            coarse_solver=coarse_solver,
-                           fused_smoother=fused_smoother,
-                           smoother_far=smoother_far)
+                           fused_smoother=fused_smoother)
 
 
 def build_field_block_multigrid(

@@ -447,6 +447,15 @@ class BlockBanded:
         """Diagonal in transposed layout [nb, P]."""
         k0 = int(np.searchsorted(self.offsets, 0))
         nb = self.data.shape[1]
+        if self.data.shape[-1] == 0 and self.data_i is not None:
+            # o-major copy dropped (drop_omajor): read the i-major rows
+            # (i, k0, i) instead of silently returning a 0-length view
+            if k0 >= self.offsets.shape[0] or self.offsets[k0] != 0:
+                return jnp.zeros((nb, self.data_i.shape[-1]),
+                                 dtype=self.data_i.dtype)
+            R_pad = self.data_i.shape[0] // nb
+            return jnp.stack([self.data_i[i * R_pad + k0 * nb + i]
+                              for i in range(nb)], axis=0)
         if k0 >= self.offsets.shape[0] or self.offsets[k0] != 0:
             return jnp.zeros((nb, self.data.shape[-1]), dtype=self.data.dtype)
         return jnp.stack([self.data[k0, i, i, :] for i in range(nb)], axis=0)
@@ -457,6 +466,13 @@ class BlockBanded:
         nb, P = self.data.shape[1], self.n_block_rows
         if k0 >= self.offsets.shape[0] or self.offsets[k0] != 0:
             return jnp.zeros((P, nb, nb), dtype=self.data.dtype)
+        if self.data.shape[-1] == 0 and self.data_i is not None:
+            R_pad = self.data_i.shape[0] // nb
+            blk = jnp.stack(
+                [jnp.stack([self.data_i[i * R_pad + k0 * nb + j]
+                            for j in range(nb)], axis=0)
+                 for i in range(nb)], axis=0)  # [nb, nb, P]
+            return jnp.moveaxis(blk, -1, 0)
         return jnp.moveaxis(self.data[k0], -1, 0)
 
     def add_to_diagonal_band(self, blocks_t: jnp.ndarray) -> "BlockBanded":
@@ -472,6 +488,8 @@ class BlockBanded:
         k0 = int(np.searchsorted(self.offsets, 0))
         if k0 >= self.offsets.shape[0] or self.offsets[k0] != 0:
             return jnp.zeros(self.shape[0], dtype=self.data.dtype)
+        if self.data.shape[-1] == 0 and self.data_i is not None:
+            return self.diagonal_t().T.reshape(-1)
         nb = self.data.shape[1]
         d = jnp.stack([self.data[k0, i, i, :] for i in range(nb)], axis=1)
         return d.reshape(-1)  # [P, nb] -> flat

@@ -21,8 +21,8 @@ from contextlib import contextmanager
 __all__ = ["Timer", "chained_cost"]
 
 
-def chained_cost(step_fn, x0, n_small: int = 8, n_large: int = 64,
-                 reps: int = 3) -> float:
+def chained_cost(step_fn, x0, *operands, n_small: int = 8,
+                 n_large: int = 64, reps: int = 3) -> float:
     """Seconds per application of ``step_fn`` (x -> x, jittable), free of
     dispatch/tunnel round-trip latency.
 
@@ -30,20 +30,26 @@ def chained_cost(step_fn, x0, n_small: int = 8, n_large: int = 64,
     ``(t(n_large) - t(n_small)) / (n_large - n_small)``; each chain is
     compiled and warmed first and timed with a host read (best of
     ``reps``), so neither compile time nor async dispatch can leak in.
+
+    Large loop-invariant pytrees (matrices, tables) must be passed as
+    extra ``operands`` — ``step_fn(x, *operands)`` — NOT captured by
+    closure: closure capture inlines them as program CONSTANTS, which
+    bloats the MLIR shipped to the (remote) compiler by their full byte
+    size and can crash it outright at 10^8-byte operands.
     """
     import jax
     import jax.numpy as jnp
 
     def chain_time(n):
-        f = jax.jit(lambda x: jax.lax.scan(
-            lambda c, _: (step_fn(c), None), x, None, length=n)[0])
-        r = f(x0)
+        f = jax.jit(lambda x, *ops: jax.lax.scan(
+            lambda c, _: (step_fn(c, *ops), None), x, None, length=n)[0])
+        r = f(x0, *operands)
         jax.block_until_ready(r)
         float(jnp.sum(jax.tree.leaves(r)[0]))  # host read: remote done
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            r = f(x0)
+            r = f(x0, *operands)
             float(jnp.sum(jax.tree.leaves(r)[0]))
             ts.append(time.perf_counter() - t0)
         return min(ts)

@@ -517,36 +517,19 @@ def test_fused_smoother_mg_solve_matches():
     assert np.allclose(x0, x1, atol=1e-8 * max(1.0, np.abs(x0).max()))
 
 
-def test_near_only_smoother_pack():
-    """near_only_pack must drop exactly the |offset| > tile couplings:
-    full matvec == near matvec + dropped-band contributions."""
-    from polydeal_tpu.ops.packed import build_pack_plan
-    from polydeal_tpu.solvers.multigrid import near_only_pack
+def test_dropped_omajor_diagonal():
+    """diagonal_t/diagonal/diag_blocks must read the i-major copy when
+    the o-major band was dropped (drop_omajor) instead of silently
+    returning zero-length views (regression: a [nb, 0] dinv reached a
+    Pallas kernel and failed Mosaic layout verification)."""
+    from polydeal_tpu.sparse import BlockBanded
 
-    ah, A, offs = _rtree_leaf_band()
-    ft = ah.faces
-    interior = ~ft.is_boundary
-    plan, oid, _, _ = build_pack_plan(
-        ft.poly_in[interior], ft.poly_out[interior],
-        ah.n_poly, ah.n_basis, offsets=offs, near_limit=-1)
-    packed = A.to_packed(plan, jnp.asarray(oid))
-    tile = 32
-    assert any(abs(o) > tile for o in plan.offsets)
-    near = near_only_pack(packed, tile=tile)
-    assert near is not None
-    assert all(abs(o) <= tile for o in near.plan.offsets)
-    assert near.far_data is None
-    rng = np.random.default_rng(11)
-    xt = jnp.asarray(rng.standard_normal((ah.n_basis, ah.n_poly)),
-                     dtype=jnp.float32)
-    y_full = packed.matvec_t(xt)
-    y_near = near.matvec_t(xt)
-    y_far = jnp.zeros_like(y_full)
-    for k, o in enumerate(offs):
-        if abs(int(o)) > tile:
-            xs = jnp.roll(xt, -int(o), axis=1)
-            y_far = y_far + jnp.einsum("ijp,jp->ip", A.data[k], xs)
-    err = float(jnp.abs(y_full - (y_near + y_far)).max())
-    assert err < 1e-5 * float(jnp.abs(y_full).max())
-    # a level with nothing beyond the kernel tile is left alone
-    assert near_only_pack(packed, tile=1 << 30) is None
+    offsets = np.array([-8, -1, 0, 1, 8])
+    data, _ = _random_banded(5, 4, 128, offsets)
+    A = BlockBanded(jnp.asarray(data), offsets, 128)
+    B = A.with_imajor(drop_omajor=True)
+    assert B.data.shape[-1] == 0
+    assert np.allclose(np.asarray(A.diagonal_t()), np.asarray(B.diagonal_t()))
+    assert np.allclose(np.asarray(A.diagonal()), np.asarray(B.diagonal()))
+    assert np.allclose(np.asarray(A.diag_blocks()),
+                       np.asarray(B.diag_blocks()))

@@ -352,3 +352,25 @@ def test_chained_cost_methodology():
                      n_large=32, reps=2)
     assert c > 0.0
     assert c < 0.05  # a 64x64 matmul is far under 50 ms/step
+
+
+def test_write_svg(tmp_path):
+    """SVG grid dump (reference poisson.cc:617-629 GridOut::write_svg
+    analogue): one filled polygon per fine cell, thick polytope
+    boundaries; well-formed XML."""
+    import xml.etree.ElementTree as ET
+
+    from polydeal_tpu.agglomeration import RTreeAgglomerator
+    from polydeal_tpu.io import write_svg
+
+    mesh = pd.hyper_cube(2, 8)
+    agg = RTreeAgglomerator.build(mesh.cell_centers())
+    ah = pd.AgglomerationHandler(mesh, agg.extract_agglomerates(1), degree=1)
+    path = tmp_path / "grid.svg"
+    n = write_svg(ah, str(path))
+    assert n == ah.n_poly
+    root = ET.parse(path).getroot()
+    tags = [e.tag.split("}")[-1] for e in root]
+    assert tags.count("polygon") == mesh.n_cells
+    # at least one thick interface line per polytope boundary
+    assert tags.count("line") > 0

@@ -3,9 +3,11 @@
 Measures, at the 1M-DoF leaf level (both the packed/rtree and the
 banded/structured fine formats, f32 and the bf16 smoother copy):
   - bare matvec_t rate
-  - fused cheb_step_t rate (step + step0 modes)
+  - fused cheb_step_t rate
   - composed cheb5 smooth vs fused cheb5 smooth
-Chained-scan slope methodology (utils.timer.chained_cost).
+Chained-scan slope methodology (utils.timer.chained_cost); operators are
+passed as scan OPERANDS, not closures — closure capture would inline the
+134 MB band as MLIR constants and crash the remote compiler.
 """
 import os, sys as _sys
 _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -48,17 +50,30 @@ def build_band(hierarchy):
     return ah, A, offs
 
 
-def rate_step(m, dinv, b, x):
-    """Chained fused steps: carry (x, d)."""
-    def body(c):
+def rate_mv(mm, x):
+    return chained_cost(
+        lambda c, m: m.matvec_t(c).astype(c.dtype), x, mm)
+
+
+def rate_step(mm, dinv, b, x):
+    def body(c, m, dv, bb):
         xx, dd = c
-        return m.cheb_step_t(xx, dd, b, dinv, 0.9, 0.1)
-    d0 = jnp.zeros_like(x)
-    return chained_cost(body, (x, d0))
+        return m.cheb_step_t(xx, dd, bb, dv, 0.9, 0.1)
+
+    return chained_cost(body, (x, jnp.zeros_like(x)), mm, dinv, b)
 
 
-def rate_smooth(sm, b, x):
-    return chained_cost(lambda xx: sm(b, xx), x, n_large=24)
+def rate_smooth(mm, dinv, b, x, fused: bool):
+    interp = jax.default_backend() != "tpu"
+
+    def body(xx, m, dv, bb):
+        step = (lambda x2, d2, c1, c2: m.cheb_step_t(
+            x2, d2, bb, dv, c1, c2, interpret=interp)) if fused else None
+        sm = ChebyshevSmoother(A=m.matvec_t, Minv=lambda r: dv * r,
+                               lo=0.06, hi=1.2, degree=5, step_fn=step)
+        return sm(bb, xx)
+
+    return chained_cost(body, x, mm, dinv, b, n_large=24)
 
 
 for hier in ("rtree", "structured"):
@@ -83,21 +98,12 @@ for hier in ("rtree", "structured"):
                     jnp.float32)
     b = jnp.asarray(rng.standard_normal((ah.n_basis, ah.n_poly)),
                     jnp.float32)
+    dinv = 1.0 / variants["f32"].diagonal_t()
     for name, mm in variants.items():
-        dinv = 1.0 / variants["f32"].diagonal_t()
-        t_mv = chained_cost(
-            lambda v: mm.matvec_t(v).astype(v.dtype), x)
+        t_mv = rate_mv(mm, x)
         t_st = rate_step(mm, dinv, b, x)
-        sm_c = ChebyshevSmoother(A=mm.matvec_t,
-                                 Minv=lambda r: dinv * r,
-                                 lo=0.06, hi=1.2, degree=5)
-        interp = jax.default_backend() != "tpu"
-        sm_f = ChebyshevSmoother(
-            A=mm.matvec_t, Minv=lambda r: dinv * r, lo=0.06, hi=1.2,
-            degree=5, step_fn=lambda xx, dd, c1, c2: mm.cheb_step_t(
-                xx, dd, b, dinv, c1, c2, interpret=interp))
-        t_sc = rate_smooth(sm_c, b, x)
-        t_sf = rate_smooth(sm_f, b, x)
+        t_sc = rate_smooth(mm, dinv, b, x, fused=False)
+        t_sf = rate_smooth(mm, dinv, b, x, fused=True)
         log(f"{hier}/{name}: matvec {t_mv*1e3:.3f}ms  fused_step "
             f"{t_st*1e3:.3f}ms  cheb5 composed {t_sc*1e3:.3f}ms  "
             f"fused {t_sf*1e3:.3f}ms")
