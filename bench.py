@@ -125,6 +125,12 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
                              None if os.environ.get("BENCH_FUSED", "1")
                              == "1" else False))
 
+    # the setup-time fine band is dead once the MG levels are built (the
+    # fused program re-assembles it); at 8.4M DoF it is ~5 GB of HBM
+    # that would otherwise stay live through the solve and OOM the chip
+    del A0
+    gc.collect()
+
     packed = hierarchy == "rtree"
     if packed:
         from polydeal_tpu.ops.packed import build_pack_plan
@@ -154,6 +160,10 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         return e
 
     mg.ells[-1] = _strip(mg.ells[-1])
+    # matrices[-1] aliases the same fine-level object — strip it too or
+    # the dead full pack rides along as a program argument (~1 GB at
+    # 8.4M DoF)
+    mg.matrices[-1] = mg.ells[-1]
     if mg.lo_ells is not None:
         # the lo fine-level copy is refreshed inside the fused program —
         # strip the setup-time one too (it would otherwise ride in as a
@@ -172,8 +182,10 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         if packed:
             m.ells[-1] = A_band.to_packed(plan, oid_dev)
             if m.lo_ells is not None:
-                # packed levels reuse the full-precision object (bf16
-                # packed kernel measured slower on v5e)
+                # packed levels reuse the full-precision object: the
+                # packed kernel is VPU-bound on window construction, so
+                # halving its band bytes buys nothing (measured bf16 =
+                # f32 time) and a bf16 copy would duplicate the band
                 m.lo_ells[-1] = m.ells[-1]
         else:
             m.ells[-1] = A_band.with_imajor(drop_omajor=True)
@@ -207,7 +219,7 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         coarse_solver=coarse_solver,
         fmg=fmg,
     )
-    del mg, groups, A0, res
+    del mg, groups, res
     gc.collect()
     return out
 

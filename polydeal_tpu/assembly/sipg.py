@@ -460,8 +460,14 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
     offsets = np.asarray(offsets, dtype=np.int64)
     put = _lane_put(device_mesh, dtype)
 
-    def face_group(rows: np.ndarray, by: np.ndarray, both: bool):
-        """Padded entity-last tables of the face rows, grouped by `by`."""
+    def face_group(rows: np.ndarray, by: np.ndarray):
+        """Padded entity-last tables of the face rows, grouped by `by`.
+
+        Only the IN-side unit points are stored: the OUT-side points are
+        the same physical points pulled back into the neighbor's box —
+        an affine map of pts_in from (lo, ext) of both sides, computed
+        in-program by the assembly (saves one [C, q, d, P] table per
+        group: ~25% of the face-table bytes, ~1.8 GB at 8.4M DoF)."""
         members, _ = padded_group_lists(by, P) if rows.size else (
             np.full((P, 1), -1, dtype=np.int64), None)
         mask = members >= 0
@@ -479,15 +485,12 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
             ft.normals[safe.reshape(-1)].reshape(P, C, *ft.normals.shape[1:]),
             (1, 2, 3, 0))
         hf = np.where(mask, ft.h_f[safe], 1.0)  # [P, C]
-        g = dict(
+        return dict(
             w=put(np.transpose(w, (1, 2, 0))),
             n=put(nrm),
             h_f=put(hf.T),  # [C, P]
             pts_in=put(pad_pts(ft.points_in)),
         )
-        if both:
-            g["pts_out"] = put(pad_pts(ft.points_out))
-        return g
 
     interior = ~ft.is_boundary
     off_of = np.where(interior, ft.poly_out - ft.poly_in, 0)
@@ -496,10 +499,9 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
     for o in pos_offsets:
         rows = np.where(interior & (off_of == o))[0]
         if rows.size:
-            groups[o] = face_group(rows, ft.poly_in[rows], both=True)
+            groups[o] = face_group(rows, ft.poly_in[rows])
     b_rows = np.where(ft.is_boundary)[0][dirichlet_face_mask(ah, dirichlet_ids)]
-    bdry = face_group(b_rows, ft.poly_in[b_rows], both=False) \
-        if b_rows.size else None
+    bdry = face_group(b_rows, ft.poly_in[b_rows]) if b_rows.size else None
 
     # volume: padded cells per polytope, entity-last
     members = ah.poly2cells  # [P, Cc]
@@ -563,27 +565,25 @@ def _pad_lane_tables(tables, pad: int):
     unit coordinates, and unit h_f/extents (finite gamma and inverse
     extents — no inf*0 NaNs)."""
     if pad == 0:
-        return tables, tables["ext_t"]
+        return tables, tables["ext_t"], tables["lo_t"]
 
     def pl_(a, fill):
         widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
         return jnp.pad(a, widths, constant_values=fill)
 
-    def pad_group(g, both):
-        out = dict(w=pl_(g["w"], 0.0), n=pl_(g["n"], 0.0),
-                   h_f=pl_(g["h_f"], 1.0), pts_in=pl_(g["pts_in"], 0.5))
-        if both:
-            out["pts_out"] = pl_(g["pts_out"], 0.5)
-        return out
+    def pad_group(g):
+        return dict(w=pl_(g["w"], 0.0), n=pl_(g["n"], 0.0),
+                    h_f=pl_(g["h_f"], 1.0), pts_in=pl_(g["pts_in"], 0.5))
 
     padded = dict(
-        groups={o: pad_group(g, True) for o, g in tables["groups"].items()},
+        groups={o: pad_group(g) for o, g in tables["groups"].items()},
         bdry=None if tables["bdry"] is None
-        else pad_group(tables["bdry"], False),
+        else pad_group(tables["bdry"]),
         vol=dict(pts=pl_(tables["vol"]["pts"], 0.5),
                  w=pl_(tables["vol"]["w"], 0.0)),
     )
-    return padded, pl_(tables["ext_t"], 1.0)
+    # padded lanes: unit extents (finite inverses) and zero box origins
+    return padded, pl_(tables["ext_t"], 1.0), pl_(tables["lo_t"], 0.0)
 
 
 def _emit_banded(pieces, offsets, nb, P, layout):
@@ -649,6 +649,7 @@ def assemble_sipg_banded_direct(
     P, nb = ah.n_poly, ah.n_basis
     offsets = np.asarray(offsets, dtype=np.int64)
     ext_t = tables["ext_t"]  # [dim, P]
+    lo_t = tables["lo_t"]  # [dim, P]
 
     if use_pallas is None:
         use_pallas = _jax.default_backend() == "tpu"
@@ -685,11 +686,11 @@ def assemble_sipg_banded_direct(
                     and fits(_boundary_lane_cost(
                         nb, ah.dim, gb["w"].shape[1], gb["w"].shape[0])))
 
-    tab_p = ext_p = None
+    tab_p = ext_p = lo_p = None
     P_pad = -(-P // 128) * 128
     sl = (...,) if P_pad == P else (Ellipsis, slice(0, P))
     if vol_pal or bdry_pal or any(face_pal.values()):
-        tab_p, ext_p = _pad_lane_tables(tables, P_pad - P)
+        tab_p, ext_p, lo_p = _pad_lane_tables(tables, P_pad - P)
 
     def eval_tables(pts):
         """pts [C, q, d, P] -> B [C, q, nb, P], G [C, q, nb, d, P] via
@@ -699,6 +700,17 @@ def assemble_sipg_banded_direct(
 
     def real_grad(G, ext):  # ext [dim, P]
         return G / ext[None, None, None, :, :]
+
+    def pts_out_of(g, o, lo, ext):
+        """OUT-side unit points from the IN-side table: the same
+        physical points pulled back into the neighbor's bounding box
+        (poly_out = poly_in + o, so its box params are lane rolls).
+        Padded/wrapped lanes produce arbitrary-but-finite points whose
+        contributions vanish against the zero weights."""
+        x = lo[None, None] + g["pts_in"] * ext[None, None]
+        lo_o = jnp.roll(lo, -o, axis=1)
+        ext_o = jnp.roll(ext, -o, axis=1)
+        return (x - lo_o[None, None]) / ext_o[None, None]
 
     # volume: sum over padded cells
     if vol_pal:
@@ -721,11 +733,11 @@ def assemble_sipg_banded_direct(
             m11, m12, m21, m22 = (
                 m.reshape(nb, nb, P_pad)[sl]
                 for m in face_group_blocks_pallas(
-                    tab_p["groups"][o], ext_p, o, ah.degree, ah.dim,
+                    tab_p["groups"][o], ext_p, lo_p, o, ah.degree, ah.dim,
                     penalty_constant, interpret=interpret))
         else:
             B0, G0u = eval_tables(g["pts_in"])
-            B1, G1u = eval_tables(g["pts_out"])
+            B1, G1u = eval_tables(pts_out_of(g, o, lo_t, ext_t))
             # side 0 gradients scale by poly_in extents (P-aligned);
             # side 1 by poly_out = P + o extents: roll the lanes by -o
             G0 = real_grad(G0u, ext_t)

@@ -197,20 +197,25 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
     return out
 
 
-def face_group_blocks_pallas(group, ext_t, offset, degree, dim,
+def face_group_blocks_pallas(group, ext_t, lo_t, offset, degree, dim,
                              penalty_constant, *, interpret=False):
     """(m11, m12, m21, m22) each [nb*nb, P] for one face group.
 
     group: the dict from build_banded_groups (tables [C, q, d, P] /
-    [C, q, P]; padded rows carry zero weights); ext_t [dim, P] polytope
-    extents (poly_in-aligned); the poly_out extents are ext_t rolled by
-    -offset.
+    [C, q, P]; padded rows carry zero weights); ext_t/lo_t [dim, P]
+    polytope box extents/origins (poly_in-aligned); the poly_out box
+    params are lane rolls by -offset, and the OUT-side unit points are
+    computed here from pts_in (the tables no longer ship them).
     """
     import jax.numpy as jnp
 
     C, q = group["w"].shape[0], group["w"].shape[1]
     pts_in = group["pts_in"].astype(jnp.float32)   # [C, q, d, P]
-    pts_out = group["pts_out"].astype(jnp.float32)
+    ext32 = ext_t.astype(jnp.float32)
+    lo32 = lo_t.astype(jnp.float32)
+    x_phys = lo32[None, None] + pts_in * ext32[None, None]
+    pts_out = ((x_phys - jnp.roll(lo32, -offset, axis=1)[None, None])
+               / jnp.roll(ext32, -offset, axis=1)[None, None])
     n = group["n"].astype(jnp.float32)
     w = group["w"].astype(jnp.float32)
     gamma = (penalty_constant / group["h_f"]).astype(jnp.float32)  # [C, P]

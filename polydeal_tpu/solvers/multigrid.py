@@ -616,9 +616,10 @@ class Multigrid:
                                cols=e.cols, n_block_cols=e.n_block_cols)
 
             # Matrix-free levels stay f32; packed levels reuse the f32
-            # operator OBJECT (measured on v5e: the bf16 packed kernel is
-            # ~1.7x SLOWER than f32 — Mosaic 16-bit lane handling — so a
-            # low-precision copy loses twice, time and a duplicate band).
+            # operator OBJECT: the packed kernel is VPU-bound on its
+            # wide-offset window construction (measured on v5e: bf16
+            # band = f32 band time), so a low-precision copy buys no
+            # time and costs a duplicate band in HBM.
             # The identity cases must bypass jit: jit re-materializes its
             # output, which would silently duplicate the band in HBM.
             lo_ells = [e if isinstance(e, (MatrixFreeLevel, _BP))

@@ -12,11 +12,6 @@ Env: SWEEP_HIERARCHY=rtree|structured, SWEEP_N.
 import os, sys as _sys
 _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
-import time
-
-import numpy as np
-import jax
-import jax.numpy as jnp
 
 
 def log(m):
