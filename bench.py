@@ -94,8 +94,21 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
     band_offsets = np.unique(np.concatenate(
         [diffs, -diffs, np.zeros(1, dtype=np.int64)]))
     groups = build_banded_groups(ah, band_offsets, dtype)
+    packed = hierarchy == "rtree"
+    plan = oid_dev = None
+    if packed:
+        from polydeal_tpu.ops.packed import build_pack_plan
+
+        plan, oid, _, _ = build_pack_plan(
+            ft.poly_in[interior], ft.poly_out[interior],
+            ah.n_poly, ah.n_basis, offsets=band_offsets, near_limit=-1)
+        oid_dev = jax.numpy.asarray(oid)
+    # the fine matrix is assembled DIRECTLY in its solver layout: packed
+    # for the wide-offset rtree path (the dense 37-row band would be
+    # ~5 GB at 8.4M DoF and is never needed), banded otherwise
     A0 = jax.jit(lambda t: assemble_sipg_banded_direct(
-        ah, t, offsets=band_offsets))(groups)
+        ah, t, offsets=band_offsets, pack_plan=plan,
+        pack_oid=oid_dev))(groups)
     pdt = None if precond in ("", "none") else getattr(jnp, precond)
     # vector_dtype stays None by default: bf16 smoothing VECTORS were
     # measured to cost 2-3x the CG iterations (55-96 vs 20-24) for an
@@ -125,22 +138,15 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
                              None if os.environ.get("BENCH_FUSED", "1")
                              == "1" else False))
 
-    # the setup-time fine band is dead once the MG levels are built (the
-    # fused program re-assembles it); at 8.4M DoF it is ~5 GB of HBM
-    # that would otherwise stay live through the solve and OOM the chip
+    # the setup-time fine matrix is dead once the MG levels are built
+    # (the fused program re-assembles it) — free it before the solve
     del A0
     gc.collect()
 
-    packed = hierarchy == "rtree"
     if packed:
-        from polydeal_tpu.ops.packed import build_pack_plan
         from polydeal_tpu.sparse import BlockPacked
 
         assert isinstance(mg.ells[-1], BlockPacked), "packed path engaged"
-        plan, oid, _, _ = build_pack_plan(
-            ft.poly_in[interior], ft.poly_out[interior],
-            ah.n_poly, ah.n_basis, offsets=band_offsets, near_limit=-1)
-        oid_dev = jax.numpy.asarray(oid)
 
     # ONE jitted program: assembly (directly in the banded layout, then
     # packed for the wide-offset case) + MG-CG solve.  mg and the tables
@@ -174,13 +180,17 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
 
     @jax.jit
     def assemble_and_solve(tabs, m, scale):
-        A_band = assemble_sipg_banded_direct(ah, tabs, offsets=band_offsets)
         # `scale` keeps every timed call's inputs unique so no layer can
         # dedupe identical (executable, inputs) executions; it multiplies
         # the rhs, leaving iteration counts untouched
         b = assemble_rhs_direct(ah, tabs, f, u_ex) * scale
         if packed:
-            m.ells[-1] = A_band.to_packed(plan, oid_dev)
+            # assemble DIRECTLY into the packed layout: the dense band
+            # (n_off rows, ~5 GB at 8.4M DoF) is never materialized and
+            # the separate to_packed pass disappears
+            m.ells[-1] = assemble_sipg_banded_direct(
+                ah, tabs, offsets=band_offsets, pack_plan=plan,
+                pack_oid=oid_dev)
             if m.lo_ells is not None:
                 # packed levels reuse the full-precision object: the
                 # packed kernel is VPU-bound on window construction, so
@@ -188,6 +198,8 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
                 # f32 time) and a bf16 copy would duplicate the band
                 m.lo_ells[-1] = m.ells[-1]
         else:
+            A_band = assemble_sipg_banded_direct(
+                ah, tabs, offsets=band_offsets)
             m.ells[-1] = A_band.with_imajor(drop_omajor=True)
             if m.lo_ells is not None:
                 m.lo_ells[-1] = (

@@ -586,6 +586,40 @@ def _pad_lane_tables(tables, pad: int):
     return padded, pl_(tables["ext_t"], 1.0), pl_(tables["lo_t"], 0.0)
 
 
+def _emit_packed(pieces, offsets, plan, oid):
+    """BlockPacked directly from the per-offset [nb, nb, P] band pieces
+    — never materializes the dense band (n_off rows: ~5 GB at 8.4M DoF
+    and 37 offsets) nor pays the separate to_packed pass over it.
+
+    Identical selection semantics to BlockBanded.to_packed: each slot
+    row holds, per lane, the block of whichever of the slot's offsets is
+    active there (conflict-free by construction)."""
+    from polydeal_tpu.sparse import BlockPacked
+
+    nb = pieces[0].shape[0]
+    P = pieces[0].shape[-1]
+    K, R_pad = plan.K, plan.R_pad
+    by_off = {int(o): pc for o, pc in zip(offsets, pieces)}
+    packed_k = []
+    for k in range(K):
+        acc = jnp.zeros((nb, nb, P), dtype=pieces[0].dtype)
+        for o_idx in plan.slots[k]:
+            mask = (oid[k] == o_idx)[None, None, :]
+            acc = jnp.where(mask, by_off[plan.offsets[o_idx]], acc)
+        packed_k.append(acc)
+    slabs = []
+    for i in range(nb):
+        slab = jnp.concatenate([pk[i] for pk in packed_k], axis=0)
+        if R_pad != K * nb:
+            slab = jnp.concatenate(
+                [slab, jnp.zeros((R_pad - K * nb, P), dtype=slab.dtype)],
+                axis=0)
+        slabs.append(slab)
+    return BlockPacked(data_i=jnp.concatenate(slabs, axis=0), oid=oid,
+                       plan=plan, far_data=None, far_rows=None,
+                       far_cols=None)
+
+
 def _emit_banded(pieces, offsets, nb, P, layout):
     """Final banded container from per-offset [nb, nb, P] pieces.
 
@@ -624,6 +658,8 @@ def assemble_sipg_banded_direct(
     use_pallas: bool | None = None,
     layout: str = "omajor",
     interpret: bool = False,
+    pack_plan=None,
+    pack_oid=None,
 ):
     """Banded SIPG assembly over slot-padded tables (see
     :func:`build_banded_groups`) — pure einsum/sum/roll, no scatters or
@@ -778,6 +814,10 @@ def assemble_sipg_banded_direct(
     pieces = [diag if o == 0 else (rows[int(o)] if rows[int(o)] is not None
                                    else zero)
               for o in offsets]
+    if pack_plan is not None:
+        # emit the packed format directly (ops/packed.py) — skips the
+        # dense band and its separate to_packed pass entirely
+        return _emit_packed(pieces, offsets, pack_plan, pack_oid)
     return _emit_banded(pieces, offsets, nb, P, layout)
 
 

@@ -533,3 +533,25 @@ def test_dropped_omajor_diagonal():
     assert np.allclose(np.asarray(A.diagonal()), np.asarray(B.diagonal()))
     assert np.allclose(np.asarray(A.diag_blocks()),
                        np.asarray(B.diag_blocks()))
+
+
+def test_assemble_direct_to_packed():
+    """Direct packed emission (pack_plan/pack_oid) must equal assembling
+    the dense band and packing it afterwards."""
+    from polydeal_tpu.ops.packed import build_pack_plan
+
+    ah, A, offs = _rtree_leaf_band()
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    plan, oid, _, _ = build_pack_plan(
+        ft.poly_in[interior], ft.poly_out[interior],
+        ah.n_poly, ah.n_basis, offsets=offs, near_limit=-1)
+    oid_dev = jnp.asarray(oid)
+    ref = A.to_packed(plan, oid_dev)
+    tabs = build_banded_groups(ah, offs, jnp.float32)
+    got = assemble_sipg_banded_direct(ah, tabs, offsets=offs,
+                                      use_pallas=False, pack_plan=plan,
+                                      pack_oid=oid_dev)
+    scale = float(jnp.abs(ref.data_i).max())
+    assert float(jnp.abs(ref.data_i - got.data_i).max()) / scale < 1e-6
+    assert got.plan is plan and got.far_data is None

@@ -58,12 +58,13 @@ def main():
     offs = np.unique(np.concatenate([diffs, -diffs,
                                      np.zeros(1, dtype=np.int64)]))
     groups = build_banded_groups(ah, offs, dtype)
-    A0 = jax.jit(lambda t: assemble_sipg_banded_direct(
-        ah, t, offsets=offs))(groups)
     plan, oid, _, _ = build_pack_plan(
         ft.poly_in[interior], ft.poly_out[interior], ah.n_poly,
         ah.n_basis, offsets=offs, near_limit=-1)
     oid_dev = jnp.asarray(oid)
+    # setup fine matrix directly in the packed layout (no 5 GB band)
+    A0 = jax.jit(lambda t: assemble_sipg_banded_direct(
+        ah, t, offsets=offs, pack_plan=plan, pack_oid=oid_dev))(groups)
     mg = build_multigrid(handlers, parents, A0, dtype=dtype,
                          chebyshev_degree=5, n_smooth=1,
                          precond_dtype=jnp.bfloat16,
@@ -74,13 +75,14 @@ def main():
 
     fine = mg.ells[-1]
     assert isinstance(fine, _BP)
-    # program 1: assemble + pack + rhs (the banded intermediate lives
-    # only inside this program)
+    # program 1: assemble (directly into the packed layout — the dense
+    # band never exists) + rhs
     @jax.jit
     def assemble(tabs, scale):
-        A_band = assemble_sipg_banded_direct(ah, tabs, offsets=offs)
+        pk = assemble_sipg_banded_direct(ah, tabs, offsets=offs,
+                                         pack_plan=plan, pack_oid=oid_dev)
         b = assemble_rhs_direct(ah, tabs, f, u_ex) * scale
-        return A_band.to_packed(plan, oid_dev), b
+        return pk, b
 
     # program 2: MG-CG solve with the fine level injected
     mg.ells[-1] = _BP(fine.data_i[:, :0], fine.oid, fine.plan,
@@ -107,6 +109,10 @@ def main():
     log(f"warm: iters={int(res.iterations)} residual={float(res.residual)}")
     times = []
     for k in range(3):
+        # at the capacity edge the PREVIOUS iteration's pack must be
+        # freed before re-assembling (two packs + assembly temps OOM)
+        del pk, b, res
+        gc.collect()
         t0 = time.perf_counter()
         pk, b = assemble(groups, jnp.float32(1.0 + 1e-6 * (k + 1)))
         res = solve(pk, b, mg)
