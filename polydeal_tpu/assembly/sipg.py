@@ -695,9 +695,11 @@ def assemble_sipg_banded_direct(
         and jnp.zeros(0, dtype=tables["vol"]["w"].dtype).dtype
         == jnp.float32
     )
-    # per-kernel VMEM feasibility at the minimum lane tile (128):
-    # infeasible pieces (huge C on coarse levels) fall back to the XLA
-    # einsums individually — the rest stays in Pallas
+    # per-kernel VMEM feasibility at the minimum lane tile (128) and a
+    # single-entity C chunk — the kernels split large C across an inner
+    # accumulating grid dimension (ops/sipg_kernels._chunk_plan), so only
+    # a basis too big even for (T=128, Cc=1) falls back to the XLA
+    # einsums (whose broadcast intermediates OOM HBM at p>=2 scale)
     vol_pal = bdry_pal = False
     face_pal = {o: False for o in tables["groups"]}
     if kernels_on:
@@ -710,17 +712,14 @@ def assemble_sipg_banded_direct(
 
         fits = lambda c: _pick_tile(128, c) is not None
         vol_pal = fits(_volume_lane_cost(
-            nb, ah.dim, tables["vol"]["w"].shape[1],
-            tables["vol"]["w"].shape[0]))
+            nb, ah.dim, tables["vol"]["w"].shape[1], 1))
         face_pal = {
-            o: fits(_face_lane_cost(nb, ah.dim, g["w"].shape[1],
-                                    g["w"].shape[0]))
+            o: fits(_face_lane_cost(nb, ah.dim, g["w"].shape[1], 1))
             for o, g in tables["groups"].items()
         }
         gb = tables["bdry"]
-        bdry_pal = (gb is not None and gb["w"].shape[0] <= 8
-                    and fits(_boundary_lane_cost(
-                        nb, ah.dim, gb["w"].shape[1], gb["w"].shape[0])))
+        bdry_pal = (gb is not None and fits(_boundary_lane_cost(
+            nb, ah.dim, gb["w"].shape[1], 1)))
 
     tab_p = ext_p = lo_p = None
     P_pad = -(-P // 128) * 128

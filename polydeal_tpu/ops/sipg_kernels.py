@@ -91,25 +91,65 @@ def _pick_tile(P, bytes_per_lane, budget=5 * 2**20):
     return None
 
 
+def _chunk_plan(P, cost_of_c, C, c_chunk=None):
+    """(T, Cc): lane tile + C-chunk size fitting the VMEM budget.
+
+    The kernels' VMEM footprint is C-linear (Mosaic keeps the per-c
+    slabs live), so large face groups — coarse R-tree levels have C up
+    to ~dozens of fine faces per (offset, polytope) slot, more at p>=2
+    where q grows — cannot run the whole C loop in one grid step.  The
+    C loop is split across an inner grid dimension that ACCUMULATES
+    into the output block (revisited consecutively, so Mosaic keeps it
+    resident); this keeps every group on the Pallas path instead of
+    falling back to the XLA einsums, whose [nb,nb,q,C,P] broadcast
+    intermediates OOM HBM at p=2 coarse levels (measured 28.6G).
+    Returns (None, None) only if even (T=128, Cc=1) does not fit."""
+    Cc = max(int(C), 1) if c_chunk is None else int(c_chunk)
+    while True:
+        T = _pick_tile(P, cost_of_c(Cc))
+        if T is not None or Cc == 1:
+            return T, (Cc if T is not None else None)
+        Cc = -(-Cc // 2)
+
+
+def _pad_c(arrs, C, Cc):
+    """Zero-pad the leading C axis to a multiple of Cc (padded entries
+    carry zero weights, so their contributions vanish identically)."""
+    import jax.numpy as jnp
+
+    n_c = -(-C // Cc)
+    pad = n_c * Cc - C
+    if pad == 0:
+        return arrs, n_c
+    return [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in arrs], n_c
+
+
 def _face_lane_cost(nb, dim, q, C=1):
     """Per-lane f32 bytes live in the face kernel.  Measured on v5e:
     Mosaic double-buffers the [C, ...] inputs and does NOT reuse the
     per-c basis/normal-derivative slabs across the C loop (observed
     ~3.9k f32/lane for C=16, nb=4, dim=3, q=4 — matching this model),
-    so every term scales with C."""
+    so every term scales with C.  The unrolled (i, j) block loop also
+    keeps [q, T] product temporaries live across the 4 jump/average
+    blocks (observed 34.9k BYTES/lane at nb=10, dim=3, q=9, C=1 — a
+    scoped-vmem OOM at the tile the C/nb-linear terms alone pick — the
+    gap matches 8 f32 per nb^2*q)."""
     return 4 * (2 * C * (3 * dim * q + q + 1)   # pts/n/w/gamma, dbl-buf
                 + C * 2 * nb * (1 + dim) * q    # B, G both sides, per c
                 + C * 2 * nb * q                # gn0, gn1 per c
                 + 4 * nb * nb                   # four accumulator blocks
+                + 8 * nb * nb * q               # block-loop temporaries
                 + 2 * dim)                      # inv extents
 
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("degree", "dim", "q", "C", "penalty", "interpret"),
+    static_argnames=("degree", "dim", "q", "C", "penalty", "interpret",
+                     "c_chunk"),
 )
 def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
-                     degree, dim, q, C, penalty, interpret):
+                     degree, dim, q, C, penalty, interpret, c_chunk=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -120,15 +160,18 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
     E = _complete_exponents(dim, degree)
     nb = E.shape[0]
     P = w.shape[-1]
-    T = _pick_tile(P, _face_lane_cost(nb, dim, q, C))
+    T, Cc = _chunk_plan(P, lambda c: _face_lane_cost(nb, dim, q, c), C,
+                        c_chunk)
     assert T is not None
+    (pts_in, pts_out, w, n, gamma), n_c = _pad_c(
+        [pts_in, pts_out, w, n, gamma], C, Cc)
 
     def kernel(pi_ref, po_ref, w_ref, n_ref, g_ref, ei_ref, eo_ref,
                m11_ref, m12_ref, m21_ref, m22_ref):
         iei = [ei_ref[d:d + 1, :] for d in range(dim)]  # [1, T]
         ieo = [eo_ref[d:d + 1, :] for d in range(dim)]
         acc = [[[None] * nb for _ in range(nb)] for _ in range(4)]
-        for c in range(C):
+        for c in range(Cc):
             wq = w_ref[c]  # [q, T]
             gam = g_ref[c:c + 1, :]  # [1, T]
             pin = [pi_ref[c, :, d, :] for d in range(dim)]  # each [q, T]
@@ -168,19 +211,31 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
                         + 0.5 * dotq(B1[i], gn1[j])
                         + dotq(B1[i], B1[j], gam))
         outs = (m11_ref, m12_ref, m21_ref, m22_ref)
+        cstep = pl.program_id(1)
         for k in range(4):
-            for i in range(nb):
-                for j in range(nb):
-                    r = i * nb + j
-                    outs[k][r:r + 1, :] = acc[k][i][j]
+            blk = jnp.concatenate(
+                [acc[k][i][j] for i in range(nb) for j in range(nb)],
+                axis=0)  # [nb*nb, T]
+            o_ref = outs[k]
 
-    grid = (P // T,)
+            @pl.when(cstep == 0)
+            def _init(o_ref=o_ref, blk=blk):
+                o_ref[:, :] = blk
+
+            @pl.when(cstep != 0)
+            def _accum(o_ref=o_ref, blk=blk):
+                o_ref[:, :] = o_ref[:, :] + blk
+
+    # inner grid dim = C chunks: the output block index ignores it, so
+    # the block stays VMEM-resident across the consecutive revisits
+    grid = (P // T, n_c)
     vm = pltpu.VMEM
-    spec2 = lambda rows: pl.BlockSpec((rows, T), lambda t: (0, t),
+    spec2 = lambda rows: pl.BlockSpec((rows, T), lambda t, c: (0, t),
                                       memory_space=vm)
-    spec4 = pl.BlockSpec((C, q, dim, T), lambda t: (0, 0, 0, t),
+    spec4 = pl.BlockSpec((Cc, q, dim, T), lambda t, c: (c, 0, 0, t),
                          memory_space=vm)
-    spec3 = pl.BlockSpec((C, q, T), lambda t: (0, 0, t), memory_space=vm)
+    spec3 = pl.BlockSpec((Cc, q, T), lambda t, c: (c, 0, t),
+                         memory_space=vm)
     out = pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -189,7 +244,8 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
         grid=grid,
         in_specs=[
             spec4, spec4, spec3, spec4,
-            spec2(C), spec2(dim), spec2(dim),
+            pl.BlockSpec((Cc, T), lambda t, c: (c, t), memory_space=vm),
+            spec2(dim), spec2(dim),
         ],
         out_specs=tuple(spec2(nb * nb) for _ in range(4)),
         interpret=interpret,
@@ -198,7 +254,8 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
 
 
 def face_group_blocks_pallas(group, ext_t, lo_t, offset, degree, dim,
-                             penalty_constant, *, interpret=False):
+                             penalty_constant, *, interpret=False,
+                             c_chunk=None):
     """(m11, m12, m21, m22) each [nb*nb, P] for one face group.
 
     group: the dict from build_banded_groups (tables [C, q, d, P] /
@@ -223,21 +280,26 @@ def face_group_blocks_pallas(group, ext_t, lo_t, offset, degree, dim,
     inv_out = jnp.roll(inv_in, -offset, axis=1)
     return _face_group_impl(pts_in, pts_out, w, n, gamma, inv_in, inv_out,
                             degree, dim, q, C, float(penalty_constant),
-                            interpret)
+                            interpret, c_chunk)
 
 
 def _boundary_lane_cost(nb, dim, q, C=1):
     """Per-lane f32 bytes live in the boundary kernel (C-scaled like
     :func:`_face_lane_cost` — Mosaic keeps per-c slabs live)."""
     return 4 * (2 * C * ((dim + 1) * q + dim * q + 1)
-                + C * (nb * (1 + dim) * q + nb * q) + nb * nb + dim)
+                + C * (nb * (1 + dim) * q + nb * q)
+                # one output block, 3 products per (i, j) — scaled from
+                # the face kernel's measured 8 f32/nb^2*q over 4 blocks
+                + 2 * nb * nb * q
+                + nb * nb + dim)
 
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("degree", "dim", "q", "C", "interpret"),
+    static_argnames=("degree", "dim", "q", "C", "interpret", "c_chunk"),
 )
-def _boundary_impl(pts, w, n, gamma, inv_ext, degree, dim, q, C, interpret):
+def _boundary_impl(pts, w, n, gamma, inv_ext, degree, dim, q, C, interpret,
+                   c_chunk=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -248,13 +310,15 @@ def _boundary_impl(pts, w, n, gamma, inv_ext, degree, dim, q, C, interpret):
     E = _complete_exponents(dim, degree)
     nb = E.shape[0]
     P = w.shape[-1]
-    T = _pick_tile(P, _boundary_lane_cost(nb, dim, q, C))
+    T, Cc = _chunk_plan(P, lambda c: _boundary_lane_cost(nb, dim, q, c), C,
+                        c_chunk)
     assert T is not None
+    (pts, w, n, gamma), n_c = _pad_c([pts, w, n, gamma], C, Cc)
 
     def kernel(p_ref, w_ref, n_ref, g_ref, e_ref, out_ref):
         iex = [e_ref[d:d + 1, :] for d in range(dim)]
         acc = [[None] * nb for _ in range(nb)]
-        for c in range(C):
+        for c in range(Cc):
             pc = [p_ref[c, :, d, :] for d in range(dim)]  # [q, T]
             nc = [n_ref[c, :, d, :] for d in range(dim)]
             wq = w_ref[c]  # [q, T]
@@ -270,32 +334,41 @@ def _boundary_impl(pts, w, n, gamma, inv_ext, degree, dim, q, C, interpret):
                         axis=0, keepdims=True)
                     acc[i][j] = term if acc[i][j] is None \
                         else acc[i][j] + term
-        for i in range(nb):
-            for j in range(nb):
-                out_ref[i * nb + j:i * nb + j + 1, :] = acc[i][j]
+        blk = jnp.concatenate(
+            [acc[i][j] for i in range(nb) for j in range(nb)], axis=0)
+        cstep = pl.program_id(1)
+
+        @pl.when(cstep == 0)
+        def _init():
+            out_ref[:, :] = blk
+
+        @pl.when(cstep != 0)
+        def _accum():
+            out_ref[:, :] = out_ref[:, :] + blk
 
     vm = pltpu.VMEM
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb * nb, P), jnp.float32),
-        grid=(P // T,),
+        grid=(P // T, n_c),
         in_specs=[
-            pl.BlockSpec((C, q, dim, T), lambda t: (0, 0, 0, t),
+            pl.BlockSpec((Cc, q, dim, T), lambda t, c: (c, 0, 0, t),
                          memory_space=vm),
-            pl.BlockSpec((C, q, T), lambda t: (0, 0, t), memory_space=vm),
-            pl.BlockSpec((C, q, dim, T), lambda t: (0, 0, 0, t),
+            pl.BlockSpec((Cc, q, T), lambda t, c: (c, 0, t),
                          memory_space=vm),
-            pl.BlockSpec((C, T), lambda t: (0, t), memory_space=vm),
-            pl.BlockSpec((dim, T), lambda t: (0, t), memory_space=vm),
+            pl.BlockSpec((Cc, q, dim, T), lambda t, c: (c, 0, 0, t),
+                         memory_space=vm),
+            pl.BlockSpec((Cc, T), lambda t, c: (c, t), memory_space=vm),
+            pl.BlockSpec((dim, T), lambda t, c: (0, t), memory_space=vm),
         ],
-        out_specs=pl.BlockSpec((nb * nb, T), lambda t: (0, t),
+        out_specs=pl.BlockSpec((nb * nb, T), lambda t, c: (0, t),
                                memory_space=vm),
         interpret=interpret,
     )(pts, w, n, gamma, inv_ext)
 
 
 def boundary_blocks_pallas(group, ext_t, degree, dim, penalty_constant, *,
-                           interpret=False):
+                           interpret=False, c_chunk=None):
     """Boundary Nitsche diagonal blocks [nb*nb, P] over the padded
     boundary group ([C, q, ..., P] tables; padded rows carry zero w)."""
     import jax.numpy as jnp
@@ -307,21 +380,24 @@ def boundary_blocks_pallas(group, ext_t, degree, dim, penalty_constant, *,
     gamma = (penalty_constant / group["h_f"]).astype(jnp.float32)  # [C, P]
     inv = (1.0 / ext_t).astype(jnp.float32)
     return _boundary_impl(pts, w, n, gamma, inv, degree, dim, q, C,
-                          interpret)
+                          interpret, c_chunk)
 
 
 def _volume_lane_cost(nb, dim, q, C=1):
     """Per-lane f32 bytes live in the volume kernel (C-scaled like
     :func:`_face_lane_cost` — Mosaic keeps per-c slabs live)."""
     return 4 * (2 * C * (dim * q + q) + C * nb * (1 + dim) * q
+                # block-loop temporaries (see _face_lane_cost; one block)
+                + 2 * nb * nb * q
                 + nb * nb + dim)
 
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("degree", "dim", "q", "C", "interpret"),
+    static_argnames=("degree", "dim", "q", "C", "interpret", "c_chunk"),
 )
-def _volume_impl(pts, w, inv_ext, degree, dim, q, C, interpret):
+def _volume_impl(pts, w, inv_ext, degree, dim, q, C, interpret,
+                 c_chunk=None):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -332,13 +408,15 @@ def _volume_impl(pts, w, inv_ext, degree, dim, q, C, interpret):
     E = _complete_exponents(dim, degree)
     nb = E.shape[0]
     P = w.shape[-1]
-    T = _pick_tile(P, _volume_lane_cost(nb, dim, q, C))
+    T, Cc = _chunk_plan(P, lambda c: _volume_lane_cost(nb, dim, q, c), C,
+                        c_chunk)
     assert T is not None, "no valid lane tile (P not divisible by 128?)"
+    (pts, w), n_c = _pad_c([pts, w], C, Cc)
 
     def kernel(p_ref, w_ref, e_ref, out_ref):
         iex = [e_ref[d:d + 1, :] for d in range(dim)]
         acc = [[None] * nb for _ in range(nb)]
-        for c in range(C):
+        for c in range(Cc):
             wq = w_ref[c]  # [q, T]
             pts_ = [p_ref[c, :, d, :] for d in range(dim)]
             _, G = _basis_slabs(pts_, E, degree, iex, jnp)
@@ -349,29 +427,39 @@ def _volume_impl(pts, w, inv_ext, degree, dim, q, C, interpret):
                         axis=0, keepdims=True)
                     acc[i][j] = term if acc[i][j] is None \
                         else acc[i][j] + term
-        for i in range(nb):
-            for j in range(nb):
-                out_ref[i * nb + j:i * nb + j + 1, :] = acc[i][j]
+        blk = jnp.concatenate(
+            [acc[i][j] for i in range(nb) for j in range(nb)], axis=0)
+        cstep = pl.program_id(1)
+
+        @pl.when(cstep == 0)
+        def _init():
+            out_ref[:, :] = blk
+
+        @pl.when(cstep != 0)
+        def _accum():
+            out_ref[:, :] = out_ref[:, :] + blk
 
     vm = pltpu.VMEM
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nb * nb, P), jnp.float32),
-        grid=(P // T,),
+        grid=(P // T, n_c),
         in_specs=[
-            pl.BlockSpec((C, q, dim, T), lambda t: (0, 0, 0, t),
+            pl.BlockSpec((Cc, q, dim, T), lambda t, c: (c, 0, 0, t),
                          memory_space=vm),
-            pl.BlockSpec((C, q, T), lambda t: (0, 0, t), memory_space=vm),
-            pl.BlockSpec((dim, T), lambda t: (0, t), memory_space=vm),
+            pl.BlockSpec((Cc, q, T), lambda t, c: (c, 0, t),
+                         memory_space=vm),
+            pl.BlockSpec((dim, T), lambda t, c: (0, t), memory_space=vm),
         ],
-        out_specs=pl.BlockSpec((nb * nb, T), lambda t: (0, t),
+        out_specs=pl.BlockSpec((nb * nb, T), lambda t, c: (0, t),
                                memory_space=vm),
         interpret=interpret,
     )(pts, w, inv_ext)
     return out
 
 
-def volume_blocks_pallas(vol, ext_t, degree, dim, *, interpret=False):
+def volume_blocks_pallas(vol, ext_t, degree, dim, *, interpret=False,
+                         c_chunk=None):
     """Stiffness diagonal blocks [nb*nb, P] for the padded volume group
     ([C, q, d, P] tables; padded cells carry zero weights)."""
     import jax.numpy as jnp
@@ -380,4 +468,4 @@ def volume_blocks_pallas(vol, ext_t, degree, dim, *, interpret=False):
     pts = vol["pts"].astype(jnp.float32)  # [C, q, d, P]
     w = vol["w"].astype(jnp.float32)
     inv = (1.0 / ext_t).astype(jnp.float32)
-    return _volume_impl(pts, w, inv, degree, dim, q, C, interpret)
+    return _volume_impl(pts, w, inv, degree, dim, q, C, interpret, c_chunk)

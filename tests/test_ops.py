@@ -182,6 +182,57 @@ def test_direct_assembly_pallas_interpret(case):
     assert float(jnp.abs(ref.data - got.data).max()) / scale < 2e-5
 
 
+def test_assembly_kernels_c_chunked():
+    """Forcing a C chunk smaller than C (the inner accumulating grid
+    dimension large-C coarse-level groups take — e.g. every p>=2 R-tree
+    level, whose XLA fallback OOMs HBM) reproduces the single-step
+    kernels exactly, including the odd-C zero-padding."""
+    from polydeal_tpu.agglomeration import RTreeAgglomerator
+    from polydeal_tpu.assembly.sipg import (_pad_lane_tables,
+                                            default_penalty_constant)
+    from polydeal_tpu.ops.sipg_kernels import (boundary_blocks_pallas,
+                                               face_group_blocks_pallas,
+                                               volume_blocks_pallas)
+
+    mesh = pd.hyper_cube(2, 10)
+    agg = RTreeAgglomerator.build(mesh.cell_centers())
+    c2p = agg.extract_agglomerates(agg.n_levels - 2)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=1)
+    offsets = assemble_sipg_matrix(ah).banded_offsets()
+    tabs = build_banded_groups(ah, offsets, dtype=jnp.float32)
+    assert any(g["w"].shape[0] > 2 for g in tabs["groups"].values())
+    P = ah.n_poly
+    tab_p, ext_p, lo_p = _pad_lane_tables(tabs, -(-P // 128) * 128 - P)
+    pc = default_penalty_constant(ah.degree, ah.dim)
+
+    def close(a, b):
+        a, b = jnp.stack(jax.tree.leaves(a)), jnp.stack(jax.tree.leaves(b))
+        return float(jnp.abs(a - b).max()) <= 1e-6 * float(
+            jnp.abs(a).max() + 1.0)
+
+    for cc in (1, 2):
+        for o, g in tab_p["groups"].items():
+            if g["w"].shape[0] <= cc:
+                continue
+            ref = face_group_blocks_pallas(g, ext_p, lo_p, o, ah.degree,
+                                           ah.dim, pc, interpret=True)
+            got = face_group_blocks_pallas(g, ext_p, lo_p, o, ah.degree,
+                                           ah.dim, pc, interpret=True,
+                                           c_chunk=cc)
+            assert close(ref, got), (o, cc)
+    vref = volume_blocks_pallas(tab_p["vol"], ext_p, ah.degree, ah.dim,
+                                interpret=True)
+    vgot = volume_blocks_pallas(tab_p["vol"], ext_p, ah.degree, ah.dim,
+                                interpret=True, c_chunk=1)
+    assert close(vref, vgot)
+    if tab_p["bdry"] is not None and tab_p["bdry"]["w"].shape[0] > 1:
+        bref = boundary_blocks_pallas(tab_p["bdry"], ext_p, ah.degree,
+                                      ah.dim, pc, interpret=True)
+        bgot = boundary_blocks_pallas(tab_p["bdry"], ext_p, ah.degree,
+                                      ah.dim, pc, interpret=True, c_chunk=1)
+        assert close(bref, bgot)
+
+
 def test_gmres_full_restart_exact():
     """Unrestarted GMRES solves an n x n nonsymmetric system exactly."""
     from polydeal_tpu.solvers.gmres import gmres_solve
