@@ -64,17 +64,31 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
     # MXU-bound instead of the TRSM latency-bound lu_solve.
     trim = int(os.environ.get("BENCH_TRIM", "3"))
     coarse_solver = os.environ.get("BENCH_COARSE_SOLVER", "inv")
+    relabel = os.environ.get("BENCH_RELABEL", "lex")
+    relabel = None if relabel in ("", "none") else relabel
     if hierarchy == "rtree":
-        # the general R3MG path: STR R-tree hierarchy, SFC-rank ordering
-        # (37 band offsets) -> per-lane PACKED format (K = 7 slots)
+        # the general R3MG path: STR R-tree hierarchy.  With the default
+        # band-minimizing relabel (BENCH_RELABEL=lex) every level is
+        # renumbered in sliced-lexicographic centroid order, collapsing
+        # the SFC rank ordering's 37 band offsets to 7 — the banded
+        # i-major kernel then matches the structured path.  With
+        # BENCH_RELABEL=none the SFC ordering is kept and the wide-offset
+        # PACKED format (K = 7 slots) serves the SpMV.
         from polydeal_tpu.agglomeration import RTreeAgglomerator
         from polydeal_tpu.solvers import build_rtree_hierarchy
 
         agg = RTreeAgglomerator.build(mesh.cell_centers())
         lv0 = 1 if trim <= 0 else max(1, agg.n_levels - 1 - trim)
         handlers, parents = build_rtree_hierarchy(
-            mesh, agg, list(range(lv0, agg.n_levels - 1)), degree=degree)
-        grid_shapes = None
+            mesh, agg, list(range(lv0, agg.n_levels - 1)), degree=degree,
+            relabel=relabel)
+        # structural detection: on quasi-uniform meshes the relabeled
+        # parent maps equal the 2x grid-coarsening pattern, so the
+        # reshape-sum transfer replaces the (slow) lane-gather path
+        from polydeal_tpu.solvers import detect_grid_shapes
+
+        grid_shapes = (detect_grid_shapes(handlers, parents)
+                       if relabel else None)
     else:
         # structured fast path: lexicographic levels -> 7 banded offsets
         # + reshape transfers
@@ -94,7 +108,11 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
     band_offsets = np.unique(np.concatenate(
         [diffs, -diffs, np.zeros(1, dtype=np.int64)]))
     groups = build_banded_groups(ah, band_offsets, dtype)
-    packed = hierarchy == "rtree"
+    # format choice: the packed format pays off only when the offset set
+    # is much wider than the per-lane degree (SFC ordering); with the
+    # band-minimizing relabel the offset set is ~2*dim+1 and the banded
+    # i-major kernel (identical to the structured path) is tighter
+    packed = hierarchy == "rtree" and band_offsets.shape[0] > 2 * 3 + 3
     plan = oid_dev = None
     if packed:
         from polydeal_tpu.ops.packed import build_pack_plan
@@ -147,6 +165,9 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         from polydeal_tpu.sparse import BlockPacked
 
         assert isinstance(mg.ells[-1], BlockPacked), "packed path engaged"
+    elif hierarchy == "rtree":
+        assert band_offsets.shape[0] <= 2 * 3 + 3, (
+            "relabel should have produced a narrow band")
 
     # ONE jitted program: assembly (directly in the banded layout, then
     # packed for the wide-offset case) + MG-CG solve.  mg and the tables
@@ -230,6 +251,8 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         level_sizes=[int(h.n_poly) for h in handlers],
         coarse_solver=coarse_solver,
         fmg=fmg,
+        format="packed" if packed else "banded",
+        relabel=relabel if hierarchy == "rtree" else None,
     )
     del mg, groups, res
     gc.collect()

@@ -103,8 +103,24 @@ def _chunk_plan(P, cost_of_c, C, c_chunk=None):
     resident); this keeps every group on the Pallas path instead of
     falling back to the XLA einsums, whose [nb,nb,q,C,P] broadcast
     intermediates OOM HBM at p=2 coarse levels (measured 28.6G).
-    Returns (None, None) only if even (T=128, Cc=1) does not fit."""
-    Cc = max(int(C), 1) if c_chunk is None else int(c_chunk)
+    Returns (None, None) only if even (T=128, Cc=1) does not fit.
+
+    An explicit ``c_chunk`` (test/bench knob) is honored verbatim: if it
+    does not fit the VMEM cost model the call raises instead of silently
+    halving, so callers always exercise the chunk size they asked for."""
+    if C < 1:
+        raise ValueError(
+            f"empty face/volume group (C={C}): the kernel grid would be "
+            "empty and the output buffer uninitialized")
+    if c_chunk is not None:
+        Cc = int(c_chunk)
+        T = _pick_tile(P, cost_of_c(Cc))
+        if T is None:
+            raise ValueError(
+                f"explicit c_chunk={Cc} does not fit the VMEM budget at "
+                f"P={P} (per-lane cost {cost_of_c(Cc)} B)")
+        return T, Cc
+    Cc = max(int(C), 1)
     while True:
         T = _pick_tile(P, cost_of_c(Cc))
         if T is not None or Cc == 1:
@@ -162,7 +178,10 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
     P = w.shape[-1]
     T, Cc = _chunk_plan(P, lambda c: _face_lane_cost(nb, dim, q, c), C,
                         c_chunk)
-    assert T is not None
+    if T is None:
+        raise ValueError(
+            f"face kernel infeasible: no lane tile fits VMEM at "
+            f"nb={nb}, dim={dim}, q={q}, C={C}, P={P}")
     (pts_in, pts_out, w, n, gamma), n_c = _pad_c(
         [pts_in, pts_out, w, n, gamma], C, Cc)
 
@@ -312,7 +331,10 @@ def _boundary_impl(pts, w, n, gamma, inv_ext, degree, dim, q, C, interpret,
     P = w.shape[-1]
     T, Cc = _chunk_plan(P, lambda c: _boundary_lane_cost(nb, dim, q, c), C,
                         c_chunk)
-    assert T is not None
+    if T is None:
+        raise ValueError(
+            f"boundary kernel infeasible: no lane tile fits VMEM at "
+            f"nb={nb}, dim={dim}, q={q}, C={C}, P={P}")
     (pts, w, n, gamma), n_c = _pad_c([pts, w, n, gamma], C, Cc)
 
     def kernel(p_ref, w_ref, n_ref, g_ref, e_ref, out_ref):
@@ -410,7 +432,11 @@ def _volume_impl(pts, w, inv_ext, degree, dim, q, C, interpret,
     P = w.shape[-1]
     T, Cc = _chunk_plan(P, lambda c: _volume_lane_cost(nb, dim, q, c), C,
                         c_chunk)
-    assert T is not None, "no valid lane tile (P not divisible by 128?)"
+    if T is None:
+        raise ValueError(
+            f"volume kernel infeasible: no lane tile fits VMEM at "
+            f"nb={nb}, dim={dim}, q={q}, C={C}, P={P} "
+            "(P not divisible by 128?)")
     (pts, w), n_c = _pad_c([pts, w], C, Cc)
 
     def kernel(p_ref, w_ref, e_ref, out_ref):

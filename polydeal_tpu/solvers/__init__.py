@@ -9,6 +9,8 @@ from polydeal_tpu.solvers.multigrid import (
     build_multigrid,
     maybe_pack_level,
     build_rtree_hierarchy,
+    relabel_band_minimizing,
+    detect_grid_shapes,
     build_structured_hierarchy,
     galerkin_coarsen,
 )
@@ -29,6 +31,8 @@ __all__ = [
     "build_multigrid",
     "maybe_pack_level",
     "build_rtree_hierarchy",
+    "relabel_band_minimizing",
+    "detect_grid_shapes",
     "build_structured_hierarchy",
     "galerkin_coarsen",
 ]

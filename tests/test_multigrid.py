@@ -361,3 +361,82 @@ def test_per_level_smoother_schedule():
     assert np.allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-7)
     with pytest.raises(ValueError):
         build_multigrid(handlers, parents, A, chebyshev_degree=(5, 2))
+
+
+def test_band_minimizing_relabel():
+    """The sliced-lexicographic relabel (relabel='lex') collapses the SFC
+    ordering's band offsets to 2*dim+1 per level on a uniform mesh, the
+    grid detector recognizes every transfer as a reshape pattern, and the
+    solve is identical (same agglomerates, same iterations, same L2) on
+    both the lane-gather and grid-reshape transfer paths."""
+    from polydeal_tpu.solvers import detect_grid_shapes
+
+    m = pd.hyper_cube(2, 16)
+    agg = RTreeAgglomerator.build(m.cell_centers())
+    levels = list(range(1, agg.n_levels - 1))
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    f = lambda x: 2 * jnp.pi**2 * u_ex(x)
+    got = {}
+    for rl in (None, "lex"):
+        handlers, parents = build_rtree_hierarchy(
+            m, agg, levels, degree=1, relabel=rl)
+        hf = handlers[-1]
+        n_off = assemble_sipg_matrix(hf).banded_offsets().shape[0]
+        gs = detect_grid_shapes(handlers, parents) if rl else None
+        A = assemble_sipg_matrix(hf)
+        b = assemble_rhs(hf, f, u_ex)
+        mg = build_multigrid(handlers, parents, A, grid_shapes=gs)
+        res = mg.solve_cg(b, rtol=1e-10)
+        l2, _ = compute_global_error(hf, res.x, u_ex)
+        got[rl] = (n_off, int(res.iterations), float(l2))
+        if rl == "lex":
+            assert n_off == 5  # 2*dim + 1, matching the structured path
+            assert gs is not None and gs[-1] == (16, 16)
+            # transfers stay adjoint on the gather path too
+            mg2 = build_multigrid(handlers, parents, A)  # no grid_shapes
+            t = mg2.transfers[-1]
+            assert t._gather_t and t.t_fast
+            rng = np.random.default_rng(0)
+            u = jnp.asarray(rng.normal(size=handlers[-2].n_dofs))
+            v = jnp.asarray(rng.normal(size=handlers[-1].n_dofs))
+            assert abs(float(v @ t.prolong(u))
+                       - float(t.restrict(v) @ u)) < 1e-11
+            nb = t.E.shape[-1]
+            ut, vt = u.reshape(-1, nb).T, v.reshape(-1, nb).T
+            assert abs(float(jnp.vdot(vt, t.prolong_t(ut)))
+                       - float(jnp.vdot(t.restrict_t(vt), ut))) < 1e-11
+            # gather vs grid transfers differ only in FP summation order;
+            # CG may stop one iteration apart at the tolerance boundary
+            r2 = mg2.solve_cg(b, rtol=1e-10)
+            assert abs(int(r2.iterations) - int(res.iterations)) <= 1
+            l2b, _ = compute_global_error(hf, r2.x, u_ex)
+            assert abs(float(l2b) - float(l2)) < 1e-12
+    # same MG method, ids moved only: FP summation order may shift CG's
+    # stopping point by one iteration at the tolerance boundary
+    assert abs(got[None][1] - got["lex"][1]) <= 1
+    assert abs(got[None][2] - got["lex"][2]) < 1e-12
+    assert got["lex"][0] < got[None][0]
+
+
+def test_relabel_distorted_mesh_gather_path():
+    """On a distorted mesh the relabel still solves to discretization
+    accuracy with identical iterations to the SFC ordering (the gather
+    transfer path when grid detection fails is exercised via
+    grid_shapes=None)."""
+    m = pd.distort_random(pd.hyper_cube(2, 16), 0.15, seed=4)
+    agg = RTreeAgglomerator.build(m.cell_centers())
+    levels = list(range(2, agg.n_levels - 1))
+    u_ex = lambda x: x[..., 0] + x[..., 1]
+    got = []
+    for rl in (None, "lex"):
+        handlers, parents = build_rtree_hierarchy(
+            m, agg, levels, degree=1, relabel=rl)
+        hf = handlers[-1]
+        A = assemble_sipg_matrix(hf)
+        b = assemble_rhs(hf, lambda x: jnp.zeros_like(x[..., 0]), u_ex)
+        mg = build_multigrid(handlers, parents, A)
+        res = mg.solve_cg(b, rtol=1e-11)
+        l2, _ = compute_global_error(hf, res.x, u_ex)
+        assert float(l2) < 1e-10
+        got.append(int(res.iterations))
+    assert got[0] == got[1]
