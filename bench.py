@@ -54,6 +54,7 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         build_structured_hierarchy,
     )
 
+    t_setup0 = time.perf_counter()
     dtype = jnp.float32
     mesh = pd.hyper_cube(3, n)
     # level trimming: keep only the last BENCH_TRIM extraction levels
@@ -198,6 +199,10 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         mg.lo_ells[-1] = _strip(mg.lo_ells[-1])
 
     fmg = os.environ.get("BENCH_FMG", "1") == "1"
+    # host setup phase (mesh + hierarchy + tables + pack plan + MG setup
+    # incl. its compiles) — the reference times its construction phase
+    # explicitly (examples/benchmarks_3D.cc:139-176, poisson.cc:1099-1106)
+    setup_s = time.perf_counter() - t_setup0
 
     @jax.jit
     def assemble_and_solve(tabs, m, scale):
@@ -230,8 +235,10 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         return m.solve_cg(b, rtol=rtol, maxiter=100, fmg=fmg)
 
     _log(f"bench[{hierarchy}]: setup built, compiling fused program...")
+    t_c0 = time.perf_counter()
     res = assemble_and_solve(groups, mg, jnp.float32(1.0))
     _read(res.x)  # host read: guarantees remote completion
+    compile_s = time.perf_counter() - t_c0
     _log(f"bench[{hierarchy}]: warm, timing...")
     times = []
     for k in range(3):
@@ -253,8 +260,87 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         fmg=fmg,
         format="packed" if packed else "banded",
         relabel=relabel if hierarchy == "rtree" else None,
+        setup_s=round(setup_s, 2),
+        compile_s=round(compile_s, 2),
     )
     del mg, groups, res
+    gc.collect()
+    return out
+
+
+def bench_sharded(n: int, degree: int, rtol: float):
+    """ShardedBandedSystem (shard_map SPMD solver) vs the unsharded solve
+    on ONE real device — the round-2 gate "within ~10% of unsharded at
+    n_dev=1" (collectives are identity; any gap is shard_map program
+    overhead).  The analogue of the reference's MPI solve timing
+    (examples/agglo_amg.cc:1408-1420)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import polydeal_tpu as pd
+    from polydeal_tpu.assembly.sipg import (
+        assemble_rhs_direct,
+        assemble_sipg_banded_direct,
+        build_banded_groups,
+    )
+    from polydeal_tpu.parallel.banded import ShardedBandedSystem
+    from polydeal_tpu.solvers import (
+        build_multigrid,
+        build_structured_hierarchy,
+    )
+
+    dtype = jnp.float32
+    mesh = pd.hyper_cube(3, n)
+    handlers, parents, grid_shapes = build_structured_hierarchy(
+        mesh, n, degree=degree, coarsest_side=8)
+    ah = handlers[-1]
+    u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+    f = lambda x: 3 * jnp.pi**2 * u_ex(x)
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
+    offs = np.unique(np.concatenate([diffs, -diffs,
+                                     np.zeros(1, np.int64)]))
+    groups = build_banded_groups(ah, offs, dtype)
+    A0 = jax.jit(lambda t: assemble_sipg_banded_direct(
+        ah, t, offsets=offs))(groups)
+    mg = build_multigrid(handlers, parents, A0, dtype=dtype,
+                         grid_shapes=grid_shapes, chebyshev_degree=5,
+                         n_smooth=1, precond_dtype=jnp.bfloat16,
+                         level_assembly="banded", coarse_solver="inv")
+    b = jax.jit(lambda t: assemble_rhs_direct(ah, t, f, u_ex))(groups)
+
+    def timeit(fn, *args, reps=3):
+        r = fn(*args)
+        _read(jax.tree.leaves(r)[0])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = fn(*args)
+            _read(jax.tree.leaves(r)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    sol = jax.jit(lambda bb: mg.solve_cg(bb, rtol=rtol, maxiter=100))
+    r = sol(b)
+    t_host = timeit(sol, b)
+    dmesh = Mesh(np.array(jax.devices()[:1]), ("shard",))
+    ss = ShardedBandedSystem.from_multigrid(mg, dmesh)
+    xs, ks, _ = ss.solve_cg(b, rtol=rtol, maxiter=100)
+    t_sh = timeit(lambda bb: ss.solve_cg(bb, rtol=rtol, maxiter=100)[0], b)
+    err = float(jnp.max(jnp.abs(xs - r.x)))
+    out = dict(
+        n_dofs=ah.n_dofs,
+        unsharded_ms=round(t_host * 1e3, 2),
+        sharded_1dev_ms=round(t_sh * 1e3, 2),
+        ratio=round(t_sh / t_host, 3),
+        sharded_dof_per_s=round(ah.n_dofs / t_sh, 1),
+        iterations=(int(ks), int(r.iterations)),
+        max_abs_diff=err,
+    )
+    del mg, groups, ss, A0
     gc.collect()
     return out
 
@@ -333,6 +419,10 @@ def main():
             "structured", n, degree, rtol, cheb_deg, n_smooth, precond,
             vector)
         _log(f"bench: structured done {detail['structured']}")
+    if os.environ.get("BENCH_SKIP_SHARDED", "") != "1":
+        _log("bench: sharded (n_dev=1 real chip)...")
+        detail["sharded"] = bench_sharded(n, degree, rtol)
+        _log(f"bench: sharded done {detail['sharded']}")
     if os.environ.get("BENCH_SKIP_MONODOMAIN", "") != "1":
         import math
 

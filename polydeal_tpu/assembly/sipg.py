@@ -404,26 +404,56 @@ def assemble_sipg_banded_t(
     return BlockBanded(data=data, offsets=offsets, n_block_cols=P)
 
 
+# stats of the most recent build_banded_groups call (observability for
+# the shard-local setup path; read by tests/tools)
+last_setup_stats: dict = {}
+
+
 def _lane_put(device_mesh, dtype):
     """Materializer for entity-last (lane-major) setup tables.
 
-    With ``device_mesh`` (a jax.sharding.Mesh), every table is placed
-    directly with a lane-sharded NamedSharding — no replica ever holds a
-    global table, so aggregate setup HBM scales with the device count
-    (the analogue of the reference's rank-local setup,
-    source/agglomeration_handler.cc:85-87).  Without it, plain
-    jnp.asarray on the default device."""
+    Takes a BUILDER ``f(lo, hi) -> np.ndarray`` producing the lane slab
+    ``[..., hi - lo]`` of a table whose global lane count is ``P``.
+
+    With ``device_mesh`` (a jax.sharding.Mesh) the table is built ONE
+    LANE SLAB AT A TIME on host and ``device_put`` per shard
+    (``jax.make_array_from_single_device_arrays``): neither host RAM nor
+    any replica's HBM ever holds a global table — host peak scales as
+    1/n_dev of the padded-table bytes, the analogue of the reference's
+    rank-local setup (source/agglomeration_handler.cc:85-87,1026-1091).
+    Without a mesh, the whole table is built in one call on the default
+    device (single-chip path, unchanged)."""
     if device_mesh is None:
-        return lambda a: jnp.asarray(a, dtype=dtype)
+
+        def put1(build, P):
+            a = jnp.asarray(build(0, P), dtype=dtype)
+            last_setup_stats["max_host_slab_bytes"] = max(
+                last_setup_stats.get("max_host_slab_bytes", 0),
+                a.size * a.dtype.itemsize)
+            return a
+
+        return put1
     from jax.sharding import NamedSharding, PartitionSpec
 
     axis = device_mesh.axis_names[0]
+    devs = list(device_mesh.devices.flat)
+    n_dev = len(devs)
 
-    def put(a):
-        a = np.asarray(a)
-        spec = PartitionSpec(*([None] * (a.ndim - 1)), axis)
-        return jax.device_put(a.astype(dtype),
-                              NamedSharding(device_mesh, spec))
+    def put(build, P):
+        assert P % n_dev == 0, (P, n_dev)
+        per = P // n_dev
+        shards = []
+        np_dtype = np.dtype(jnp.zeros(0, dtype=dtype).dtype.name)
+        for i, dev in enumerate(devs):
+            slab = np.asarray(build(i * per, (i + 1) * per),
+                              dtype=np_dtype)
+            last_setup_stats["max_host_slab_bytes"] = max(
+                last_setup_stats.get("max_host_slab_bytes", 0), slab.nbytes)
+            shards.append(jax.device_put(slab, dev))
+        gshape = shards[0].shape[:-1] + (P,)
+        spec = PartitionSpec(*([None] * (len(gshape) - 1)), axis)
+        return jax.make_array_from_single_device_arrays(
+            gshape, NamedSharding(device_mesh, spec), shards)
 
     return put
 
@@ -458,6 +488,9 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
     P = ah.n_poly
     ft = ah.faces
     offsets = np.asarray(offsets, dtype=np.int64)
+    last_setup_stats.clear()
+    last_setup_stats["n_dev"] = (
+        1 if device_mesh is None else int(device_mesh.devices.size))
     put = _lane_put(device_mesh, dtype)
 
     def face_group(rows: np.ndarray, by: np.ndarray):
@@ -467,29 +500,43 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
         the same physical points pulled back into the neighbor's box —
         an affine map of pts_in from (lo, ext) of both sides, computed
         in-program by the assembly (saves one [C, q, d, P] table per
-        group: ~25% of the face-table bytes, ~1.8 GB at 8.4M DoF)."""
+        group: ~25% of the face-table bytes, ~1.8 GB at 8.4M DoF).
+
+        Every table is expressed as a lane-slab builder consumed by the
+        ``put`` materializer — the sharded path never holds a global
+        [C, q, d, P] numpy array on host."""
         members, _ = padded_group_lists(by, P) if rows.size else (
             np.full((P, 1), -1, dtype=np.int64), None)
         mask = members >= 0
         safe = np.where(mask, rows[np.maximum(members, 0)], 0)
         C = members.shape[1]
 
-        def pad_pts(pts):  # [n_f, q, d] -> [C, q, d, P]
-            out = pts[safe.reshape(-1)].reshape(P, C, *pts.shape[1:])
-            out = np.where(mask.reshape(P, C, 1, 1), out, 0.5)
+        def b_pts(lo, hi):  # [C, q, d, hi-lo]
+            s, m = safe[lo:hi], mask[lo:hi]
+            pts = ft.points_in
+            out = pts[s.reshape(-1)].reshape(hi - lo, C, *pts.shape[1:])
+            out = np.where(m.reshape(hi - lo, C, 1, 1), out, 0.5)
             return np.transpose(out, (1, 2, 3, 0))
 
-        w = ft.weights[safe.reshape(-1)].reshape(P, C, -1)
-        w = np.where(mask[:, :, None], w, 0.0)
-        nrm = np.transpose(
-            ft.normals[safe.reshape(-1)].reshape(P, C, *ft.normals.shape[1:]),
-            (1, 2, 3, 0))
-        hf = np.where(mask, ft.h_f[safe], 1.0)  # [P, C]
+        def b_w(lo, hi):  # [C, q, hi-lo]
+            s, m = safe[lo:hi], mask[lo:hi]
+            w = ft.weights[s.reshape(-1)].reshape(hi - lo, C, -1)
+            return np.transpose(np.where(m[:, :, None], w, 0.0), (1, 2, 0))
+
+        def b_n(lo, hi):  # [C, q, d, hi-lo]
+            s = safe[lo:hi]
+            return np.transpose(
+                ft.normals[s.reshape(-1)].reshape(
+                    hi - lo, C, *ft.normals.shape[1:]), (1, 2, 3, 0))
+
+        def b_hf(lo, hi):  # [C, hi-lo]
+            return np.where(mask[lo:hi], ft.h_f[safe[lo:hi]], 1.0).T
+
         return dict(
-            w=put(np.transpose(w, (1, 2, 0))),
-            n=put(nrm),
-            h_f=put(hf.T),  # [C, P]
-            pts_in=put(pad_pts(ft.points_in)),
+            w=put(b_w, P),
+            n=put(b_n, P),
+            h_f=put(b_hf, P),
+            pts_in=put(b_pts, P),
         )
 
     interior = ~ft.is_boundary
@@ -503,22 +550,27 @@ def build_banded_groups(ah: AgglomerationHandler, offsets: np.ndarray,
     b_rows = np.where(ft.is_boundary)[0][dirichlet_face_mask(ah, dirichlet_ids)]
     bdry = face_group(b_rows, ft.poly_in[b_rows]) if b_rows.size else None
 
-    # volume: padded cells per polytope, entity-last
+    # volume: padded cells per polytope, entity-last (slab builders)
     members = ah.poly2cells  # [P, Cc]
     maskc = members >= 0
-    safe = np.maximum(members, 0)
+    safe_v = np.maximum(members, 0)
     Cc = members.shape[1]
-    upts = ah.cell_qpoints_unit[safe.reshape(-1)].reshape(
-        P, Cc, *ah.cell_qpoints_unit.shape[1:])
-    upts = np.where(maskc[:, :, None, None], upts, 0.5)
-    wv = ah.cell_qweights[safe.reshape(-1)].reshape(P, Cc, -1)
-    wv = np.where(maskc[:, :, None], wv, 0.0)
-    vol = dict(
-        pts=put(np.transpose(upts, (1, 2, 3, 0))),
-        w=put(np.transpose(wv, (1, 2, 0))),
-    )
-    ext_t = put(ah.extents.T)  # [dim, P]
-    lo_t = put(ah.bbox_lo.T)  # [dim, P]
+
+    def bv_pts(lo, hi):
+        s, m = safe_v[lo:hi], maskc[lo:hi]
+        upts = ah.cell_qpoints_unit[s.reshape(-1)].reshape(
+            hi - lo, Cc, *ah.cell_qpoints_unit.shape[1:])
+        upts = np.where(m[:, :, None, None], upts, 0.5)
+        return np.transpose(upts, (1, 2, 3, 0))
+
+    def bv_w(lo, hi):
+        s, m = safe_v[lo:hi], maskc[lo:hi]
+        wv = ah.cell_qweights[s.reshape(-1)].reshape(hi - lo, Cc, -1)
+        return np.transpose(np.where(m[:, :, None], wv, 0.0), (1, 2, 0))
+
+    vol = dict(pts=put(bv_pts, P), w=put(bv_w, P))
+    ext_t = put(lambda lo, hi: ah.extents[lo:hi].T, P)  # [dim, P]
+    lo_t = put(lambda lo, hi: ah.bbox_lo[lo:hi].T, P)  # [dim, P]
     return dict(groups=groups, bdry=bdry, vol=vol, ext_t=ext_t, lo_t=lo_t)
 
 

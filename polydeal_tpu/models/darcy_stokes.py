@@ -404,7 +404,8 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
                             block: int, nu: float | None = None,
                             kappa: float | None = None,
                             penalty_v: float = 40.0,
-                            source: str = "system"):
+                            source: str = "system",
+                            ps_mode: str = "bj"):
     """Field-wise R3MG preconditioner for the coupled GMRES solve
     (improves on the reference's sparse direct solver,
     darcy_stokes.cc:1688-1696):
@@ -459,6 +460,40 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
 
     bj = sys.op.block_jacobi()
 
+    # pS Schur-complement block options (ps_mode):
+    #   'bj'        — block-Jacobi of the pS-pS stabilization block
+    #   'mass'      — nu * M_p^{-1}: the classic Stokes Schur surrogate
+    #                 S ~ (1/nu) M_p (pressure mass matrix)
+    #   'mass+stab' — (D_C + (1/nu) M_p)^{-1}: the stabilized-Schur
+    #                 block-diagonal, D_C = per-polytope diagonal of the
+    #                 pS-pS jump-stabilization block
+    ps_apply = None
+    if ps_mode != "bj":
+        meta = sys.meta
+        fpS = sp.fields["pS"]
+        volp = meta["vol_pS"]
+        cs_, rows_s = meta["cells_s"], meta["rows_s"]
+        Mc = jnp.einsum("cqi,cqj,cq->cij", volp.B[cs_], volp.B[cs_],
+                        volp.w[cs_])
+        Mp = jnp.zeros((fpS.n_polys, fpS.block, fpS.block),
+                       dtype=Mc.dtype).at[jnp.asarray(rows_s)].add(Mc)
+        if ps_mode == "mass":
+            Sinv = nu * jnp.linalg.inv(Mp)
+        elif ps_mode == "mass+stab":
+            key = ("pS", "pS")
+            D = jnp.zeros_like(Mp)
+            if key in sys.op.finalize():
+                r_, c_, d_ = sys.op.finalize()[key]
+                eq = r_ == c_
+                D = D.at[r_[eq]].add(d_[eq])
+            Sinv = jnp.linalg.inv(D + Mp / nu)
+        else:
+            raise ValueError(f"unknown ps_mode: {ps_mode!r}")
+
+        def ps_apply(v):
+            r = sp.unpack(v, "pS").reshape(fpS.n_polys, fpS.block)
+            return jnp.einsum("pij,pj->pi", Sinv, r)[:, None, :]
+
     def field_mg(name, v):
         mg_f, s_f, ah_f, true_block = mgs[name]
         f = sp.fields[name]
@@ -484,7 +519,8 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
 
     def M(v):
         parts = {"u": field_mg("u", v)}
-        parts["pS"] = bj(v)[sp.dof_slice("pS")]
+        parts["pS"] = (bj(v)[sp.dof_slice("pS")] if ps_apply is None
+                       else ps_apply(v).reshape(-1))
         parts["pD"] = field_mg("pD", v)
         return sp.pack(parts)
 
@@ -493,16 +529,16 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
 
 def solve_darcy_stokes_mg(sys: StokesDarcySystem, mesh, n: int, block: int,
                           rtol: float = 1e-10, restart: int = 200,
-                          max_restarts: int = 40):
+                          max_restarts: int = 40, ps_mode: str = "mass+stab"):
     """GMRES with the field-wise R3MG preconditioner (V-cycle velocity
-    and Darcy blocks + Jacobi Schur proxy) — mesh-robust iteration
-    counts, unlike plain block-Jacobi."""
+    and Darcy blocks + the stabilized pressure-Schur mass-matrix block)
+    — mesh-robust iteration counts, unlike plain block-Jacobi."""
     import jax.numpy as jnp
 
     from polydeal_tpu.solvers.gmres import gmres_solve
 
     m = pressure_mean_vector(sys)
-    M = mg_block_preconditioner(sys, mesh, n, block)
+    M = mg_block_preconditioner(sys, mesh, n, block, ps_mode=ps_mode)
 
     def A(v):
         return sys.op.matvec(v) + m * jnp.vdot(m, v)
