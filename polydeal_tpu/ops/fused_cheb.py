@@ -47,6 +47,10 @@ __all__ = [
     "packed_residual_t",
     "banded_cheb_step_t",
     "banded_residual_t",
+    "packed_cheb_step_t_halo",
+    "banded_cheb_step_t_halo",
+    "packed_residual_t_halo",
+    "banded_residual_t_halo",
 ]
 
 
@@ -374,3 +378,84 @@ def banded_residual_t(data_i, offsets, nb: int, xt, b, *,
     r = _banded_fused_impl(data_i, xpad, xfar, (b.astype(acc_t),), None,
                            offsets, nb, "residual", interpret)
     return r.astype(xt.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Sharded-slab (halo) variants: ``x_ext`` [nb, per + 2T] carries REAL halo
+# lanes from the ring ppermutes (parallel/banded.py _halo_x) — exactly the
+# layout the kernels' padded-x specs expect, so the impls are reused
+# verbatim; every offset must satisfy |o| <= T (no global rolls on a
+# shard), and the vectors/outputs are LOCAL [nb, per] slabs.  These make
+# each sharded Chebyshev step ONE kernel dispatch, matching the host
+# smoother's fused path (the n_dev=1 gap was measured at 1.9x with the
+# unfused sharded smoother).
+
+
+def _prep_x_halo(x_ext, T, offsets, nb, P):
+    import jax.numpy as jnp
+
+    offsets = tuple(int(o) for o in np.asarray(offsets))
+    assert x_ext.shape[-1] == P + 2 * T, "halo width must equal the tile"
+    assert all(abs(o) <= T for o in offsets), "far offset on a shard"
+    acc_t = _acc_t(x_ext)
+    xin = x_ext.astype(acc_t)
+    xfar = jnp.zeros((1, nb, P), dtype=acc_t)
+    return offsets, xin, xfar, acc_t
+
+
+def _scal_vecs(c1, c2, dvec, b, dinv, acc_t):
+    import jax.numpy as jnp
+
+    scal = jnp.stack([jnp.asarray(c1, dtype=acc_t),
+                      jnp.asarray(c2, dtype=acc_t)]).reshape(1, 2)
+    if dvec is None:
+        return scal, (b.astype(acc_t), dinv.astype(acc_t)), "step0"
+    return scal, (b.astype(acc_t), dvec.astype(acc_t),
+                  dinv.astype(acc_t)), "step"
+
+
+def banded_cheb_step_t_halo(data_i, offsets, nb: int, x_ext, dvec, b, dinv,
+                            c1, c2, *, tile: int, interpret: bool = False):
+    """One fused Chebyshev step on a banded i-major SHARD SLAB."""
+    P = data_i.shape[1]
+    offsets, xin, xfar, acc_t = _prep_x_halo(x_ext, tile, offsets, nb, P)
+    scal, vecs, mode = _scal_vecs(c1, c2, dvec, b, dinv, acc_t)
+    x2, d2 = _banded_fused_impl(data_i, xin, xfar, vecs, scal, offsets, nb,
+                                mode, interpret, tile=tile)
+    return x2.astype(b.dtype), d2.astype(b.dtype)
+
+
+def banded_residual_t_halo(data_i, offsets, nb: int, x_ext, b, *,
+                           tile: int, interpret: bool = False):
+    """Fused r = b - A x on a banded i-major shard slab."""
+    P = data_i.shape[1]
+    offsets, xin, xfar, acc_t = _prep_x_halo(x_ext, tile, offsets, nb, P)
+    r = _banded_fused_impl(data_i, xin, xfar, (b.astype(acc_t),), None,
+                           offsets, nb, "residual", interpret, tile=tile)
+    return r.astype(b.dtype)
+
+
+def packed_cheb_step_t_halo(data_i, oid, plan, x_ext, dvec, b, dinv,
+                            c1, c2, *, tile: int, interpret: bool = False):
+    """One fused Chebyshev step on a packed SHARD SLAB.  With a far
+    block-COO tail the caller must pre-subtract it from ``b``
+    (b_eff = b - A_far x): the in-kernel y covers the near window only."""
+    nb = plan.nb
+    P = data_i.shape[-1]
+    offsets, xin, xfar, acc_t = _prep_x_halo(x_ext, tile, plan.offsets, nb, P)
+    scal, vecs, mode = _scal_vecs(c1, c2, dvec, b, dinv, acc_t)
+    x2, d2 = _packed_fused_impl(data_i, oid, xin, xfar, vecs, scal, plan,
+                                mode, interpret, tile=tile)
+    return x2.astype(b.dtype), d2.astype(b.dtype)
+
+
+def packed_residual_t_halo(data_i, oid, plan, x_ext, b, *, tile: int,
+                           interpret: bool = False):
+    """Fused r = b - A_near x on a packed shard slab (caller adds the far
+    tail's contribution)."""
+    nb = plan.nb
+    P = data_i.shape[-1]
+    offsets, xin, xfar, acc_t = _prep_x_halo(x_ext, tile, plan.offsets, nb, P)
+    r = _packed_fused_impl(data_i, oid, xin, xfar, (b.astype(acc_t),),
+                           None, plan, "residual", interpret, tile=tile)
+    return r.astype(b.dtype)

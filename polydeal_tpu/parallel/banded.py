@@ -152,7 +152,8 @@ class ShardedBandedSystem:
     """
 
     def __init__(self, mesh, levels, params, rep_mg, nb, n_true_rows,
-                 chebyshev_degree, n_smooth, lo_vec=None):
+                 chebyshev_degree, n_smooth, lo_vec=None,
+                 fused_smoother=None):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.levels = levels  # list[_SLevel], COARSEST-sharded .. finest
@@ -162,6 +163,11 @@ class ShardedBandedSystem:
         self.n_true_rows = n_true_rows
         self.chebyshev_degree = chebyshev_degree
         self.n_smooth = n_smooth
+        # fused Chebyshev-step kernels inside the shard_map smoother
+        # (ops/fused_cheb.py halo variants): None = auto (engages where
+        # the level's Pallas kernel runs, i.e. on TPU), False = off.
+        # Matches the host Multigrid.fused_smoother policy.
+        self.fused_smoother = fused_smoother
         # V-cycle VECTOR dtype (None = operator dtype).  Mirrors
         # Multigrid's precond_dtype policy: smoothing vectors (and hence
         # the halo exchanges) run low-precision even where the level
@@ -308,7 +314,8 @@ class ShardedBandedSystem:
                    chebyshev_degree=mg.chebyshev_degree,
                    n_smooth=mg.n_smooth,
                    lo_vec=(mg.lo_dinvs[-1].dtype
-                           if mg.lo_dinvs is not None else None))
+                           if mg.lo_dinvs is not None else None),
+                   fused_smoother=mg.fused_smoother)
 
     @staticmethod
     def _build_far(lv: _SLevel, pl_: dict, ell: BlockPacked, per: int,
@@ -348,6 +355,21 @@ class ShardedBandedSystem:
     @property
     def n_dev(self) -> int:
         return int(self.mesh.devices.size)
+
+    def comm_bytes_per_spmv(self, dtype_bytes: int = 4) -> list:
+        """Per-level ppermute bytes one SpMV moves per device: 2 ring
+        sends of T halo lanes x nb rows (+ the far block-COO sends where
+        present).  The recorded analogue of the reference's MPI ghost
+        traffic (SURVEY §2 parallelism); asserted ∝ halo in
+        tests/test_sharding.py::test_halo_comm_volume."""
+        out = []
+        for lv in self.levels:
+            ring = 2 * lv.T * (lv.nb or self.nb) * dtype_bytes
+            far = (sum(lv.n_sends) * (lv.nb or self.nb) * dtype_bytes
+                   if lv.has_far else 0)
+            out.append(dict(kind=lv.kind, per=lv.per, T=lv.T,
+                            ring_bytes=ring, far_bytes=far))
+        return out
 
     def _specs(self):
         """PartitionSpec tree for self.params: lane-major arrays shard on
@@ -463,17 +485,85 @@ class ShardedBandedSystem:
     def _dot(self, a, b):
         return jax.lax.psum(jnp.vdot(a, b), self.axis)
 
-    def _smooth(self, lv: _SLevel, pl_, b_loc, x_loc):
+    def _fused_on(self, lv: _SLevel, dtype) -> bool:
+        """Fused halo Chebyshev kernels engage where the level's Pallas
+        kernel runs (TPU), unless explicitly disabled — the host
+        Multigrid._fused_ok policy applied to the sharded slab."""
+        import jax.numpy as jnp
+
+        if self.fused_smoother is False or not lv.use_kernel:
+            return False
+        return dtype in (jnp.float32, jnp.float64)
+
+    def _fused_step(self, lv: _SLevel, pl_, b_loc, dinv):
+        """step_fn(x, d, c1, c2) for ChebyshevSmoother: halo exchange +
+        ONE fused Pallas dispatch (SpMV + Jacobi + recurrence updates) —
+        the sharded analogue of the host fused smoother; the n_dev=1
+        overhead vs the host path was measured 1.9x with the unfused
+        per-op smoother."""
+        interpret = jax.default_backend() != "tpu"
+        lo_key = ("lo_data_i" if lv.has_lo and "lo_data_i" in pl_
+                  else "data_i")
+        if lv.kind == "banded":
+            from polydeal_tpu.ops.fused_cheb import banded_cheb_step_t_halo
+
+            def step_fn(x, d, c1, c2):
+                x_ext = self._halo_x(lv, x)
+                return banded_cheb_step_t_halo(
+                    pl_[lo_key], np.asarray(lv.offsets), lv.nb, x_ext, d,
+                    b_loc, dinv, c1, c2, tile=lv.T, interpret=interpret)
+        else:
+            from polydeal_tpu.ops.fused_cheb import packed_cheb_step_t_halo
+
+            def step_fn(x, d, c1, c2):
+                b_eff = b_loc
+                if lv.has_far:
+                    # the kernel's in-register y covers the near window
+                    # only — fold the far block-COO tail into b
+                    b_eff = b_loc - self._far_matvec(
+                        lv, pl_, x).astype(b_loc.dtype)
+                x_ext = self._halo_x(lv, x)
+                return packed_cheb_step_t_halo(
+                    pl_[lo_key], pl_["oid"], lv.plan, x_ext, d, b_eff,
+                    dinv, c1, c2, tile=lv.T, interpret=interpret)
+
+        return step_fn
+
+    def _smooth(self, lv: _SLevel, pl_, b_loc, x_loc, x_is_zero=False):
         from polydeal_tpu.solvers.chebyshev import ChebyshevSmoother
 
         dinv = pl_["dinv"].astype(b_loc.dtype)  # keep the sweep's dtype
         sm = ChebyshevSmoother(
             A=lambda v: self._matvec(lv, pl_, v, lo=True),
             Minv=lambda r: dinv * r,
-            lo=lv.lo, hi=lv.hi, degree=lv.deg)
-        for _ in range(lv.ns):
-            x_loc = sm(b_loc, x_loc)
+            lo=lv.lo, hi=lv.hi, degree=lv.deg,
+            step_fn=(self._fused_step(lv, pl_, b_loc, dinv)
+                     if self._fused_on(lv, b_loc.dtype) else None))
+        for s in range(lv.ns):
+            x_loc = sm(b_loc, x_loc, x_is_zero=(x_is_zero and s == 0))
         return x_loc
+
+    def _residual_loc(self, lv: _SLevel, pl_, b_loc, x_loc):
+        """r = b - A x, fused on the kernel path (full-precision band,
+        matching the host Multigrid._residual policy)."""
+        if self._fused_on(lv, b_loc.dtype):
+            interpret = jax.default_backend() != "tpu"
+            x_ext = self._halo_x(lv, x_loc)
+            if lv.kind == "banded":
+                from polydeal_tpu.ops.fused_cheb import banded_residual_t_halo
+
+                return banded_residual_t_halo(
+                    pl_["data_i"], np.asarray(lv.offsets), lv.nb, x_ext,
+                    b_loc, tile=lv.T, interpret=interpret)
+            from polydeal_tpu.ops.fused_cheb import packed_residual_t_halo
+
+            r = packed_residual_t_halo(pl_["data_i"], pl_["oid"], lv.plan,
+                                       x_ext, b_loc, tile=lv.T,
+                                       interpret=interpret)
+            if lv.has_far:
+                r = r - self._far_matvec(lv, pl_, x_loc).astype(r.dtype)
+            return r
+        return b_loc - self._matvec(lv, pl_, x_loc)
 
     def _restrict_loc(self, lv: _SLevel, pl_, r_loc):
         """Transfer fine->coarse inside the shard (children of one parent
@@ -514,8 +604,10 @@ class ShardedBandedSystem:
         if self.lo_vec is not None:
             b_loc = b_loc.astype(self.lo_vec)
         x = jnp.zeros_like(b_loc)
-        x = self._smooth(lv, pl_, b_loc, x)
-        r = b_loc - self._matvec(lv, pl_, x)
+        # x_is_zero: A·0 = 0 exactly (also in fp), so the shortcut keeps
+        # bit-parity with the host pre-smoother while saving one SpMV
+        x = self._smooth(lv, pl_, b_loc, x, x_is_zero=True)
+        r = self._residual_loc(lv, pl_, b_loc, x)
         rc_loc = self._restrict_loc(lv, pl_, r)
         if li > 0:
             xc = self._cycle(lv_params, rep_mg, li - 1, rc_loc)

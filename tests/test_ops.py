@@ -532,6 +532,93 @@ def test_fused_cheb_step_packed_interpret():
         jnp.abs(r_ref).max())
 
 
+def test_fused_cheb_step_halo_banded_interpret():
+    """The sharded-slab fused Chebyshev step (halo variant) must equal
+    the composed halo SpMV + update chain on the SAME halo-extended x —
+    the kernel the sharded smoother dispatches once per step
+    (parallel/banded.py _fused_step)."""
+    from polydeal_tpu.ops.banded import banded_matvec_t_halo, pick_tile
+    from polydeal_tpu.ops.fused_cheb import (banded_cheb_step_t_halo,
+                                             banded_residual_t_halo)
+
+    nb, n_off, P = 4, 12, 4096
+    R_pad = -(-n_off * nb // 8) * 8
+    n_rows = nb * R_pad
+    T = pick_tile(P, n_rows, 4)
+    offsets = np.arange(-5, 7)
+    assert T is not None and all(abs(o) <= T for o in offsets)
+    rng = np.random.default_rng(3)
+    data = rng.standard_normal((n_rows, P)).astype(np.float32)
+    for i in range(nb):
+        data[i * R_pad + n_off * nb:(i + 1) * R_pad] = 0.0
+    data = jnp.asarray(data)
+    x_ext = jnp.asarray(rng.standard_normal((nb, P + 2 * T)),
+                        dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nb, P)), dtype=jnp.float32)
+    dvec = jnp.asarray(rng.standard_normal((nb, P)), dtype=jnp.float32)
+    dinv = jnp.asarray(1.0 + rng.random((nb, P)), dtype=jnp.float32)
+    c1, c2 = 0.41, 0.9
+    y = banded_matvec_t_halo(data, offsets, nb, x_ext, interpret=True,
+                             tile=T)
+    x_loc = x_ext[:, T:-T]
+    for dv in (dvec, None):
+        z = dinv * (b - y)
+        d_ref = (c2 * z) if dv is None else (c1 * dv + c2 * z)
+        x_ref = x_loc + d_ref
+        x_got, d_got = banded_cheb_step_t_halo(
+            data, offsets, nb, x_ext, dv, b, dinv, c1, c2, tile=T,
+            interpret=True)
+        assert x_got.shape == (nb, P)
+        assert float(jnp.abs(x_ref - x_got).max()) < 1e-4 * float(
+            jnp.abs(x_ref).max())
+        assert float(jnp.abs(d_ref - d_got).max()) < 1e-4 * float(
+            jnp.abs(d_ref).max())
+    r_got = banded_residual_t_halo(data, offsets, nb, x_ext, b, tile=T,
+                                   interpret=True)
+    assert float(jnp.abs((b - y) - r_got).max()) < 1e-4 * float(
+        jnp.abs(b - y).max() + 1e-30)
+
+
+def test_fused_cheb_step_halo_packed_interpret():
+    """Sharded-slab fused packed Chebyshev step vs the composed packed
+    halo SpMV + updates, on a shard-ready (near/far split) pack."""
+    from polydeal_tpu.ops.packed import build_pack_plan, packed_matvec_t_halo
+    from polydeal_tpu.ops.fused_cheb import packed_cheb_step_t_halo
+
+    ah, A, offs = _rtree_leaf_band()
+    ft = ah.faces
+    interior = ~ft.is_boundary
+    bound = max(1, int(np.abs(offs).max()) // 2)
+    plan, oid, frows, fcols = build_pack_plan(
+        ft.poly_in[interior], ft.poly_out[interior], ah.n_poly,
+        ah.n_basis, near_limit=bound)
+    packed = A.to_packed(plan, jnp.asarray(oid), frows, fcols)
+    nb, P = ah.n_basis, ah.n_poly
+    # any T that divides P and covers the near offsets is a valid halo
+    T = P // 2
+    assert all(abs(o) <= T for o in plan.offsets)
+    rng = np.random.default_rng(11)
+    x_ext = jnp.asarray(rng.standard_normal((nb, P + 2 * T)),
+                        dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nb, P)), dtype=jnp.float32)
+    dvec = jnp.asarray(rng.standard_normal((nb, P)), dtype=jnp.float32)
+    dinv = 1.0 / packed.diagonal_t()
+    c1, c2 = -0.3, 1.1
+    y_near = packed_matvec_t_halo(packed.data_i, packed.oid, plan, x_ext,
+                                  interpret=True, tile=T)
+    x_loc = x_ext[:, T:-T]
+    z = dinv * (b - y_near)
+    d_ref = c1 * dvec + c2 * z
+    x_ref = x_loc + d_ref
+    x_got, d_got = packed_cheb_step_t_halo(
+        packed.data_i, packed.oid, plan, x_ext, dvec, b, dinv, c1, c2,
+        tile=T, interpret=True)
+    assert float(jnp.abs(x_ref - x_got).max()) < 1e-4 * float(
+        jnp.abs(x_ref).max())
+    assert float(jnp.abs(d_ref - d_got).max()) < 1e-4 * float(
+        jnp.abs(d_ref).max())
+
+
 def test_fused_smoother_mg_solve_matches():
     """A full MG-CG solve with fused_smoother=True (interpret-mode Pallas
     smoothing on CPU) must match the composed-op solve."""
