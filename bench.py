@@ -97,6 +97,7 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         handlers, parents, grid_shapes = build_structured_hierarchy(
             mesh, n, degree=degree, coarsest_side=cside)
     ah = handlers[-1]
+    t_hier = time.perf_counter() - t_setup0
 
     u_ex = lambda x: jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
     f = lambda x: 3 * jnp.pi**2 * u_ex(x)
@@ -108,7 +109,9 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
     diffs = (ft.poly_out - ft.poly_in)[interior].astype(np.int64)
     band_offsets = np.unique(np.concatenate(
         [diffs, -diffs, np.zeros(1, dtype=np.int64)]))
+    t_g0 = time.perf_counter()
     groups = build_banded_groups(ah, band_offsets, dtype)
+    t_groups = time.perf_counter() - t_g0
     # format choice: the packed format pays off only when the offset set
     # is much wider than the per-lane degree (SFC ordering); with the
     # band-minimizing relabel the offset set is ~2*dim+1 and the banded
@@ -125,9 +128,12 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
     # the fine matrix is assembled DIRECTLY in its solver layout: packed
     # for the wide-offset rtree path (the dense 37-row band would be
     # ~5 GB at 8.4M DoF and is never needed), banded otherwise
+    t_a0 = time.perf_counter()
     A0 = jax.jit(lambda t: assemble_sipg_banded_direct(
         ah, t, offsets=band_offsets, pack_plan=plan,
         pack_oid=oid_dev))(groups)
+    jax.block_until_ready(jax.tree.leaves(A0)[0])
+    t_asm0 = time.perf_counter() - t_a0
     pdt = None if precond in ("", "none") else getattr(jnp, precond)
     # vector_dtype stays None by default: bf16 smoothing VECTORS were
     # measured to cost 2-3x the CG iterations (55-96 vs 20-24) for an
@@ -144,6 +150,7 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         fine, coarse = (int(x) for x in str(v).split(","))
         return tuple([coarse] * (len(handlers) - 1) + [fine])
 
+    t_m0 = time.perf_counter()
     mg = build_multigrid(handlers, parents, A0, dtype=dtype,
                          grid_shapes=grid_shapes,
                          chebyshev_degree=_sched(cheb_deg),
@@ -156,6 +163,7 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
                          fused_smoother=(
                              None if os.environ.get("BENCH_FUSED", "1")
                              == "1" else False))
+    t_mg = time.perf_counter() - t_m0
 
     # the setup-time fine matrix is dead once the MG levels are built
     # (the fused program re-assembles it) — free it before the solve
@@ -262,6 +270,9 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
         relabel=relabel if hierarchy == "rtree" else None,
         setup_s=round(setup_s, 2),
         compile_s=round(compile_s, 2),
+        setup_phases_s=dict(
+            hierarchy=round(t_hier, 2), groups=round(t_groups, 2),
+            assemble0=round(t_asm0, 2), mg_setup=round(t_mg, 2)),
     )
     del mg, groups, res
     gc.collect()
@@ -360,7 +371,9 @@ def bench_monodomain(n_ref: int, degree: int, n_steps: int, dt: float):
         final_time=n_steps * dt, end_time_current=2 * dt,
         applied_current=300.0, stimulus_radius=0.2)
     cfg.solver.rtol = 1e-8
-    solver = MonodomainSolver.build(cfg)
+    relabel = os.environ.get("BENCH_MONO_RELABEL", "lex")
+    relabel = None if relabel in ("", "none") else relabel
+    solver = MonodomainSolver.build(cfg, relabel=relabel)
     u, w = solver.initial_state()
     step1 = jax.jit(lambda a, b, c: solver.step(a, b, c, 0.0, True))
     u1, w1, _ = step1(u, u, w)
@@ -385,6 +398,8 @@ def bench_monodomain(n_ref: int, degree: int, n_steps: int, dt: float):
         n_steps=n_steps,
         cg_iters_per_step=float(np.asarray(iters).mean()),
         elapsed_s=round(elapsed, 4),
+        hierarchy="rtree",
+        relabel=relabel,
     )
     del solver, u, w, uf, up, wf
     gc.collect()
@@ -423,6 +438,18 @@ def main():
         _log("bench: sharded (n_dev=1 real chip)...")
         detail["sharded"] = bench_sharded(n, degree, rtol)
         _log(f"bench: sharded done {detail['sharded']}")
+    if os.environ.get("BENCH_SCALE", "") == "1":
+        # 8.4M-DoF (n=128) single-chip scale point — opt-in: it runs at
+        # the v5e's HBM capacity edge and takes several minutes of host
+        # setup (reference times its construction phase the same way,
+        # examples/benchmarks_3D.cc:139-176)
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from bench_scale import run_scale
+
+        _log("bench: 8.4M-DoF scale point...")
+        detail["scale"] = run_scale()
+        _log(f"bench: scale done {detail['scale']}")
     if os.environ.get("BENCH_SKIP_MONODOMAIN", "") != "1":
         import math
 

@@ -49,6 +49,15 @@ def build_hp_poisson(ah, degrees, f_fn, g_fn=None):
     degrees = np.asarray(degrees, dtype=np.int64)
     assert degrees.shape[0] == ah.n_poly
     degs = sorted(int(d) for d in np.unique(degrees))
+    if ah.n_quad < max(degs) + 1:
+        # the shape tables are evaluated at the HANDLER's composite
+        # quadrature; p+1 Gauss points per direction are needed for the
+        # degree-2p stiffness/penalty integrands (under-integration
+        # surfaces as O(1e-5) exactness loss at p=3)
+        raise ValueError(
+            f"handler n_quad={ah.n_quad} under-integrates hp degree "
+            f"{max(degs)}; build the AgglomerationHandler with "
+            f"n_quad >= {max(degs) + 1}")
     bases = {d: LegendreDGP(dim, d) for d in degs}
     fields = [
         Field(f"u{d}", bases[d], 1, np.where(degrees == d)[0]) for d in degs

@@ -100,7 +100,7 @@ class MonodomainSolver:
 
     @classmethod
     def build(cls, cfg: MonodomainConfig, dtype=None, mesh=None,
-              pack=None):
+              pack=None, relabel=None):
         import jax
         import jax.numpy as jnp
         import polydeal_tpu as pd
@@ -125,9 +125,18 @@ class MonodomainSolver:
             mesh = pd.hyper_cube(cfg.dim, 2**cfg.n_refinements)
         agg = RTreeAgglomerator.build(mesh.cell_centers())
         levels = list(range(cfg.multigrid.starting_level, agg.n_levels - 1)) or [1]
+        # relabel='lex' applies the band-minimizing per-level relabeling
+        # (see solvers.relabel_band_minimizing): the SFC rank ordering's
+        # ~6*dim band offsets collapse to 2*dim+1, so every per-step SpMV
+        # in the scanned time loop streams ~5x less band data
         handlers, parents = build_rtree_hierarchy(mesh, agg, levels,
-                                                  degree=cfg.degree)
+                                                  degree=cfg.degree,
+                                                  relabel=relabel)
         ah = handlers[-1]
+        from polydeal_tpu.solvers import detect_grid_shapes
+
+        grid_shapes = (detect_grid_shapes(handlers, parents)
+                       if relabel else None)
 
         bdf = 1.0 if cfg.time_stepping_scheme == "BDF1" else 1.5
         mass_coeff = bdf * p.chi * p.Cm / cfg.dt
@@ -135,7 +144,9 @@ class MonodomainSolver:
         transfers = [
             Transfer(E=build_embedding(handlers[l], handlers[l + 1],
                                        parents[l], dtype=dtype),
-                     parent=parents[l], n_coarse=handlers[l].n_poly)
+                     parent=parents[l], n_coarse=handlers[l].n_poly,
+                     grid_shape=(None if grid_shapes is None
+                                 else grid_shapes[l]))
             for l in range(len(handlers) - 1)
         ]
 

@@ -71,13 +71,19 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_monodomain_checkpoint_resume(tmp_path):
-    """Run 6 steps with checkpointing, resume from step 4, match the
-    uninterrupted run."""
+    """Run 6 BDF2 steps with checkpointing, resume from step 4, match the
+    uninterrupted run BITWISE: the checkpoint carries the full BDF2
+    history (u, u_prev, w), so the resumed trajectory replays the exact
+    same jitted step program on the exact same inputs — any
+    representation loss in save/restore or a dropped history term would
+    break exact equality (restart capability the reference's monodomain
+    lacks, SURVEY §5)."""
     from polydeal_tpu.config import MonodomainConfig
     from polydeal_tpu.models.monodomain import MonodomainSolver
 
     cfg = MonodomainConfig(dim=2, n_refinements=3, degree=1, dt=5e-5,
-                           final_time=3e-4, stimulus_radius=0.4)
+                           final_time=3e-4, stimulus_radius=0.4,
+                           time_stepping_scheme="BDF2")
     cfg.multigrid.preconditioner = "jacobi"
     solver = MonodomainSolver.build(cfg)
     u_full, w_full, _ = solver.run(n_steps=6)
@@ -87,5 +93,5 @@ def test_monodomain_checkpoint_resume(tmp_path):
     solver2.run(n_steps=4, checkpoint_dir=ckdir, checkpoint_every=2)
     u_res, w_res, _ = solver2.run(n_steps=6, checkpoint_dir=ckdir,
                                   resume=True)
-    assert np.allclose(np.asarray(u_full), np.asarray(u_res), atol=1e-12)
-    assert np.allclose(np.asarray(w_full), np.asarray(w_res), atol=1e-12)
+    assert np.array_equal(np.asarray(u_full), np.asarray(u_res))
+    assert np.array_equal(np.asarray(w_full), np.asarray(w_res))

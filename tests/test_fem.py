@@ -119,7 +119,7 @@ def test_hp_two_degree_exactness():
     mesh = pd.hyper_cube(2, 8)
     agg = RTreeAgglomerator.build(mesh.cell_centers())
     c2p = agg.extract_agglomerates(2)
-    ah = pd.AgglomerationHandler(mesh, c2p, degree=1)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=1, n_quad=3)
     # polytope centers -> left half p=1, right half p=2
     cx = np.zeros(ah.n_poly)
     np.add.at(cx, c2p, mesh.cell_centers()[:, 0])
@@ -157,6 +157,56 @@ def test_hp_two_degree_exactness():
     assert 1e-9 < err3 < 0.05, err3
 
 
+def test_hp_three_degree_buckets():
+    """hp with THREE degree buckets (p = 1/2/3 by x-thirds) on an R-tree
+    agglomeration: dof bookkeeping is 3/6/10 per polytope, a linear
+    solution is exact everywhere, and the mixed-degree rectangular
+    coupling blocks stay consistent (a cubic is limited only by the lower
+    buckets).  Extends the 2-bucket coverage toward the reference's
+    fe_collection machinery (test/polydeal/fe_collection_agglomeration.cc)."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.agglomeration import RTreeAgglomerator
+    from polydeal_tpu.fem.hp import (
+        build_hp_poisson, hp_l2_error, solve_hp_dense)
+
+    mesh = pd.hyper_cube(2, 8)
+    agg = RTreeAgglomerator.build(mesh.cell_centers())
+    c2p = agg.extract_agglomerates(2)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=1, n_quad=4)
+    cx = np.zeros(ah.n_poly)
+    np.add.at(cx, c2p, mesh.cell_centers()[:, 0])
+    cx /= np.bincount(c2p)
+    degrees = np.where(cx < 1 / 3, 1, np.where(cx < 2 / 3, 2, 3))
+    assert all((degrees == p).any() for p in (1, 2, 3)), degrees
+
+    u_lin = lambda x: 1.0 + 2 * x[..., 0] - x[..., 1]
+    space, op, rhs = build_hp_poisson(
+        ah, degrees, f_fn=lambda x: jnp.zeros(x.shape[:-1]), g_fn=u_lin)
+    counts = [int((degrees == p).sum()) for p in (1, 2, 3)]
+    assert space.n_dofs == 3 * counts[0] + 6 * counts[1] + 10 * counts[2]
+    x = solve_hp_dense(space, op, rhs)
+    err = hp_l2_error(ah, space, degrees, x, u_lin)
+    assert err < 1e-11, err
+
+    # cubic manufactured solution: exact nowhere globally (the p=1/2
+    # buckets limit it) but the solve must stay consistent and bounded
+    u_cub = lambda x: x[..., 0] ** 3 - 3 * x[..., 0] * x[..., 1] ** 2
+    f_cub = lambda x: jnp.zeros(x.shape[:-1])
+    space3, op3, rhs3 = build_hp_poisson(ah, degrees, f_fn=f_cub,
+                                         g_fn=u_cub)
+    x3 = solve_hp_dense(space3, op3, rhs3)
+    err3 = hp_l2_error(ah, space3, degrees, x3, u_cub)
+    assert 1e-10 < err3 < 0.05, err3
+
+    # and with p=3 everywhere the cubic IS exact — the p=3 hp bucket's
+    # volume/face kernels are correct in isolation too
+    deg3 = np.full(ah.n_poly, 3)
+    space4, op4, rhs4 = build_hp_poisson(ah, deg3, f_fn=f_cub, g_fn=u_cub)
+    x4 = solve_hp_dense(space4, op4, rhs4)
+    err4 = hp_l2_error(ah, space4, deg3, x4, u_cub)
+    assert err4 < 1e-10, err4
+
+
 def test_hp_interpolate_to_fine():
     """The two-degree hp solution interpolates to a fine DGQ space and
     reproduces the exact linear nodally (reference hp
@@ -171,7 +221,7 @@ def test_hp_interpolate_to_fine():
     mesh = pd.hyper_cube(2, 8)
     agg = RTreeAgglomerator.build(mesh.cell_centers())
     c2p = agg.extract_agglomerates(2)
-    ah = pd.AgglomerationHandler(mesh, c2p, degree=1)
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=1, n_quad=3)
     cx = np.zeros(ah.n_poly)
     np.add.at(cx, c2p, mesh.cell_centers()[:, 0])
     cx /= np.bincount(c2p)

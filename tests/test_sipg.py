@@ -127,6 +127,31 @@ def test_exact_linear_3d_rtree():
     assert float(l2) < 1e-11
 
 
+def test_exact_cubic_p3_rtree():
+    """p=3 solve: a full cubic is reproduced to round-off on an R-tree
+    agglomerated grid — extends the reference's 'Linear/Quadratic: OK'
+    exactness pattern (test/polydeal/exact_solutions.cc) one degree up,
+    exercising the complete-polynomial P_3 space (nb=10 in 2D) through
+    assembly and solve."""
+    m = pd.hyper_cube(2, 8)
+    agg = RTreeAgglomerator.build(m.cell_centers())
+    ah = pd.AgglomerationHandler(
+        m, agg.extract_agglomerates(agg.n_levels - 2), degree=3)
+    assert ah.n_basis == 10
+    u_ex = lambda x: (x[..., 0] ** 3 - 3 * x[..., 0] * x[..., 1] ** 2
+                      + x[..., 0] * x[..., 1] - 0.5)
+    # -Δu: Δ(x^3 - 3xy^2) = 6x - 6x = 0 (harmonic), Δ(xy) = 0
+    f = lambda x: jnp.zeros_like(x[..., 0])
+    u = solve_poisson(ah, f, u_ex)
+    l2, h1 = compute_global_error(
+        ah, u, u_ex,
+        lambda x: jnp.stack(
+            [3 * x[..., 0] ** 2 - 3 * x[..., 1] ** 2 + x[..., 1],
+             -6 * x[..., 0] * x[..., 1] + x[..., 0]], axis=-1))
+    assert float(l2) < 1e-10, float(l2)
+    assert float(h1) < 1e-9, float(h1)
+
+
 # ------------------------------------------------------------ convergence
 
 
@@ -150,6 +175,28 @@ def test_convergence_rates_p2():
     rate = np.log2(errs[0] / errs[1])
     assert rate > 2.7, (errs, rate)
     assert errs[1] < 2e-3
+
+
+def test_convergence_rates_p3():
+    """O(h^{p+1}) = O(h^4) in L2 at p=3 on the product-sine problem with
+    R-tree agglomerates (reference examples/poisson.cc sweeps the degree
+    in its convergence study, poisson.cc:1113-1139)."""
+    u_ex = lambda x: jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
+    f = lambda x: 2 * jnp.pi**2 * u_ex(x)
+    errs = []
+    for n in (4, 8):
+        m = pd.hyper_cube(2, n)
+        agg = RTreeAgglomerator.build(m.cell_centers())
+        ah = pd.AgglomerationHandler(
+            m, agg.extract_agglomerates(agg.n_levels - 2), degree=3)
+        u = solve_poisson(ah, f, u_ex, rtol=1e-12)
+        l2, _ = compute_global_error(ah, u, u_ex)
+        errs.append(float(l2))
+    rate = np.log2(errs[0] / errs[1])
+    # measured: 1.10e-2 -> 7.49e-4 -> 4.14e-5 over n=4/8/16 (rates 3.88,
+    # 4.18 — the n=16 point is dropped to keep the test fast)
+    assert rate > 3.4, (errs, rate)
+    assert errs[1] < 1.5e-3
 
 
 # ------------------------------------------------------------- utilities

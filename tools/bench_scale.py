@@ -25,7 +25,7 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def main():
+def run_scale():
     import gc
 
     import jax
@@ -159,7 +159,11 @@ def main():
                level_sizes=[int(h.n_poly) for h in handlers],
                format="packed" if packed else "banded", relabel=relabel)
     log(f"scale point: {out}")
-    print(out)
+    return out
+
+
+def main():
+    print(run_scale())
 
 
 if __name__ == "__main__":
