@@ -151,6 +151,23 @@ class MixedOperator:
             parts[name] = v
         return sp.pack(parts)
 
+    def block_apply(self, test: str, trial: str, xb):
+        """y = A[test, trial] @ x_trial on field-local block vectors:
+        ``xb`` [n_polys_trial, block_trial] -> [n_polys_test, block_test].
+        Zero when the pair never assembled.  Serves the block-triangular
+        preconditioner (the coupling-subtraction terms)."""
+        import jax
+        import jax.numpy as jnp
+
+        ft = self.space.fields[test]
+        ent = self.finalize().get((test, trial))
+        if ent is None:
+            return jnp.zeros((ft.n_polys, ft.block), dtype=xb.dtype)
+        rows, cols, data = ent
+        prod = jnp.einsum("kij,kj->ki", data, xb[jnp.asarray(cols)])
+        return jax.ops.segment_sum(prod, jnp.asarray(rows),
+                                   num_segments=ft.n_polys)
+
     def block_jacobi(self):
         """Field-wise block-Jacobi preconditioner: invert each field's
         per-polytope diagonal block (the natural saddle-point

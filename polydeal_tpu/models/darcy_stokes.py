@@ -405,7 +405,8 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
                             kappa: float | None = None,
                             penalty_v: float = 40.0,
                             source: str = "system",
-                            ps_mode: str = "bj"):
+                            ps_mode: str = "bj",
+                            structure: str = "diag"):
     """Field-wise R3MG preconditioner for the coupled GMRES solve
     (improves on the reference's sparse direct solver,
     darcy_stokes.cc:1688-1696):
@@ -425,6 +426,14 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
            preserves that, where the proxy (a global-Dirichlet scalar
            SIPG scaled by 1/kappa) was spectrally rougher and the main
            source of iteration growth under refinement.
+
+    ``structure``: 'diag' applies the three blocks independently;
+    'tri' applies them block-LOWER-TRIANGULARLY (u, then pS minus its
+    u-coupling, then pD minus its u/pS-couplings).  Measured with EXACT
+    block inverses on n=8/16/32: diag 36/60/78 vs tri 23/30/36 GMRES
+    iterations — the off-diagonal (divergence + BJS interface) coupling,
+    not block quality, drives the diag growth; the reference sidesteps
+    the question with UMFPACK (darcy_stokes.cc:1688-1696).
     """
     import jax.numpy as jnp
 
@@ -437,21 +446,47 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
     sp = sys.space
     fu, fpD = sp.fields["u"], sp.fields["pD"]
     deg_v = fu.basis.degree
+    deg_pS = sp.fields["pS"].basis.degree
     deg_pD = fpD.basis.degree
     dim = mesh.dim
+
+    level_ops = None
+    if source == "system":
+        # coupled system RE-ASSEMBLED on every hierarchy level (shared
+        # by the u and pD chains — same polytope ids per level): the
+        # field blocks then carry level-correct SIPG penalties.  The
+        # Galerkin-inherited alternative keeps the FINE penalty on every
+        # coarse level; its u-block V-cycle CG grows 15/26/36 over
+        # n=8/16/32 where the re-discretized chain stays near-flat.
+        handlers_v, parents_v = block_hierarchy(mesh, n, block, deg_v)
+        level_ops = []
+        for li, h in enumerate(handlers_v):
+            if li == len(handlers_v) - 1:
+                level_ops.append((sp, sys.op))
+                continue
+            pcy = np.zeros(h.n_poly)
+            np.add.at(pcy, h.cell2poly, mesh.cell_centers()[:, 1])
+            pcy /= np.bincount(h.cell2poly)
+            sys_l = build_darcy_stokes(
+                h, (pcy < 0.5).astype(int), degree_v=deg_v,
+                degree_pS=deg_pS, degree_pD=deg_pD, penalty_v=penalty_v)
+            level_ops.append((sys_l.space, sys_l.op))
 
     mgs = {}
     specs = (("u", deg_v, nu,
               penalty_v * (deg_v + 1) * (deg_v + dim)),
              ("pD", deg_pD, kappa, None))
     for name, deg, scale, pc in specs:
-        handlers, parents = block_hierarchy(mesh, n, block, deg)
+        handlers, parents = (
+            (handlers_v, parents_v) if source == "system" and deg == deg_v
+            else block_hierarchy(mesh, n, block, deg))
         if source == "system":
             # cheb=5 measured best (52/116 GMRES iters over the n=8/16
             # refinement vs 58/131 at the default degree 3)
             mg_f = build_field_block_multigrid(sp, sys.op, name,
                                                handlers, parents,
-                                               chebyshev_degree=5)
+                                               chebyshev_degree=5,
+                                               level_ops=level_ops)
             mgs[name] = (mg_f, 1.0, handlers[-1], True)
         else:
             A = assemble_sipg_matrix(handlers[-1], penalty_constant=pc)
@@ -490,17 +525,16 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
         else:
             raise ValueError(f"unknown ps_mode: {ps_mode!r}")
 
-        def ps_apply(v):
-            r = sp.unpack(v, "pS").reshape(fpS.n_polys, fpS.block)
-            return jnp.einsum("pij,pj->pi", Sinv, r)[:, None, :]
+        def ps_apply(rb):  # rb: [n_polys_pS, block]
+            return jnp.einsum("pij,pj->pi", Sinv, rb)[:, None, :]
 
-    def field_mg(name, v):
+    def field_mg(name, r):
+        # r: field-local [n_f, d, nb]
         mg_f, s_f, ah_f, true_block = mgs[name]
         f = sp.fields[name]
-        r = sp.unpack(v, name)  # [n_f, d, nb]
         if true_block:
             # one V-cycle over all components (blocks are comp-major)
-            full = jnp.zeros((ah_f.n_poly, f.block), dtype=v.dtype)
+            full = jnp.zeros((ah_f.n_poly, f.block), dtype=r.dtype)
             full = full.at[jnp.asarray(f.polys)].set(
                 r.reshape(f.n_polys, f.block))
             z = mg_f.v_cycle(full.reshape(-1))
@@ -510,18 +544,42 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
         comps = []
         for d in range(f.n_components):
             full = jnp.zeros((ah_f.n_poly, f.basis.n_basis),
-                             dtype=v.dtype)
+                             dtype=r.dtype)
             full = full.at[jnp.asarray(f.polys)].set(r[:, d, :])
             z = mg_f.v_cycle(full.reshape(-1)) / s_f
             comps.append(z.reshape(ah_f.n_poly,
                                    f.basis.n_basis)[jnp.asarray(f.polys)])
         return jnp.stack(comps, axis=1)
 
+    fpS_ = sp.fields["pS"]
+    fpD_ = sp.fields["pD"]
+    tri = structure == "tri"
+    if tri and ps_apply is None:
+        raise ValueError("structure='tri' needs an explicit pS Schur "
+                         "block (ps_mode 'mass' or 'mass+stab')")
+
     def M(v):
-        parts = {"u": field_mg("u", v)}
-        parts["pS"] = (bj(v)[sp.dof_slice("pS")] if ps_apply is None
-                       else ps_apply(v).reshape(-1))
-        parts["pD"] = field_mg("pD", v)
+        zu = field_mg("u", sp.unpack(v, "u"))
+        parts = {"u": zu}
+        rS = sp.unpack(v, "pS").reshape(fpS_.n_polys, fpS_.block)
+        if tri:
+            zu_b = zu.reshape(fu.n_polys, fu.block)
+            rS = rS - sys.op.block_apply("pS", "u", zu_b)
+        if ps_apply is None:
+            parts["pS"] = bj(v)[sp.dof_slice("pS")]
+            zS_b = parts["pS"].reshape(fpS_.n_polys, fpS_.block)
+        else:
+            zS = ps_apply(rS)
+            parts["pS"] = zS.reshape(-1)
+            zS_b = zS.reshape(fpS_.n_polys, fpS_.block)
+        rD = sp.unpack(v, "pD")
+        if tri:
+            rD_b = (rD.reshape(fpD_.n_polys, fpD_.block)
+                    - sys.op.block_apply("pD", "u", zu_b)
+                    - sys.op.block_apply("pD", "pS", zS_b))
+            rD = rD_b.reshape(fpD_.n_polys, fpD_.n_components,
+                              fpD_.basis.n_basis)
+        parts["pD"] = field_mg("pD", rD)
         return sp.pack(parts)
 
     return M
@@ -529,16 +587,20 @@ def mg_block_preconditioner(sys: StokesDarcySystem, mesh, n: int,
 
 def solve_darcy_stokes_mg(sys: StokesDarcySystem, mesh, n: int, block: int,
                           rtol: float = 1e-10, restart: int = 200,
-                          max_restarts: int = 40, ps_mode: str = "mass+stab"):
-    """GMRES with the field-wise R3MG preconditioner (V-cycle velocity
-    and Darcy blocks + the stabilized pressure-Schur mass-matrix block)
-    — mesh-robust iteration counts, unlike plain block-Jacobi."""
+                          max_restarts: int = 40, ps_mode: str = "mass+stab",
+                          structure: str = "tri"):
+    """GMRES with the field-wise R3MG preconditioner, applied
+    block-triangularly by default (V-cycle velocity block, stabilized
+    pressure-Schur pS block, V-cycle pD block, each consuming the
+    residual left by the previous blocks) — mesh-robust iteration
+    counts, unlike plain block-Jacobi or the block-diagonal variant."""
     import jax.numpy as jnp
 
     from polydeal_tpu.solvers.gmres import gmres_solve
 
     m = pressure_mean_vector(sys)
-    M = mg_block_preconditioner(sys, mesh, n, block, ps_mode=ps_mode)
+    M = mg_block_preconditioner(sys, mesh, n, block, ps_mode=ps_mode,
+                                structure=structure)
 
     def A(v):
         return sys.op.matvec(v) + m * jnp.vdot(m, v)

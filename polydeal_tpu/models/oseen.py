@@ -299,12 +299,22 @@ def oseen_block_hierarchy(mesh, n: int, block: int, degree: int):
 
 def solve_oseen_mg(space, op, rhs, meta, mesh, n: int, block: int,
                    rtol: float = 1e-10, restart: int = 200,
-                   max_restarts: int = 40):
+                   max_restarts: int = 40, structure: str = "diag"):
     """GMRES with a field-wise R3MG preconditioner: per-space velocity
     blocks get a penalty-matched scalar SIPG V-cycle (scaled by 1/nu —
     the diffusive part dominates at moderate Re), pressures keep the
-    stabilization block-Jacobi.  Improves on the reference's sparse
-    direct solver (oseen.cc).
+    stabilization block-Jacobi.
+
+    ``structure='tri'`` applies the blocks block-LOWER-TRIANGULARLY with
+    stabilized mass-Schur pressure blocks — the structure that made
+    darcy_stokes mesh-independent — but MEASURED WORSE here: 77/185 vs
+    diag's 70/130 GMRES iterations over n=8/16.  The velocity block is a
+    symmetric SIPG *proxy* of a nonsymmetric advective block, so the
+    coupling subtraction feeds the proxy's error into the pressure
+    residuals, and the mass Schur ignores advection (a PCD-style
+    commutator surrogate would be needed).  Kept selectable for study;
+    'diag' stays the default.  Improves on the reference's sparse direct
+    solver (oseen.cc).
 
     Measured: the symmetric SIPG proxy beats the true-u-u-block Galerkin
     MG (:func:`~polydeal_tpu.solvers.build_field_block_multigrid`) here —
@@ -322,6 +332,7 @@ def solve_oseen_mg(space, op, rhs, meta, mesh, n: int, block: int,
     dim = meta["dim"]
     m = pressure_mean_vector(space, meta)
     bj = op.block_jacobi()
+    tri = structure == "tri"
 
     mgs = {}
     for k in (0, 1):
@@ -334,24 +345,67 @@ def solve_oseen_mg(space, op, rhs, meta, mesh, n: int, block: int,
             mgs[deg] = (build_multigrid(handlers, parents, Am),
                         handlers[-1])
 
+    # stabilized pressure-Schur blocks: (D_stab + M_p/nu)^{-1} per
+    # polytope, D_stab = diagonal blocks of the (p, p) jump
+    # stabilization (cf. darcy_stokes mg_block_preconditioner ps_mode
+    # 'mass+stab')
+    Sinvs = {}
+    if tri:
+        for k in (0, 1):
+            _, pn = meta["names"][k]
+            fp = space.fields[pn]
+            vol_p = meta["vols"][k][1]
+            cells, rows = meta["cells"][k], meta["rows"][k]
+            Mc = jnp.einsum("cqi,cqj,cq->cij", vol_p.B[cells],
+                            vol_p.B[cells], vol_p.w[cells])
+            Mp = jnp.zeros((fp.n_polys, fp.block, fp.block),
+                           dtype=Mc.dtype).at[jnp.asarray(rows)].add(Mc)
+            D = jnp.zeros_like(Mp)
+            ent = op.finalize().get((pn, pn))
+            if ent is not None:
+                r_, c_, d_ = ent
+                eq = r_ == c_
+                D = D.at[r_[eq]].add(d_[eq])
+            Sinvs[pn] = jnp.linalg.inv(D + Mp / nu)
+
+    def field_v(vn, r):
+        # r: [n_polys, block] -> velocity V-cycle per component
+        f = space.fields[vn]
+        mg_v, ah_v = mgs[f.basis.degree]
+        rr = r.reshape(f.n_polys, f.n_components, f.basis.n_basis)
+        comps = []
+        for d in range(f.n_components):
+            full = jnp.zeros((ah_v.n_poly, f.basis.n_basis),
+                             dtype=r.dtype)
+            full = full.at[jnp.asarray(f.polys)].set(rr[:, d, :])
+            z = mg_v.v_cycle(full.reshape(-1)) / nu
+            comps.append(z.reshape(ah_v.n_poly, -1)[jnp.asarray(f.polys)])
+        return jnp.stack(comps, axis=1).reshape(f.n_polys, f.block)
+
+    order = [meta["names"][0][0], meta["names"][0][1],
+             meta["names"][1][0], meta["names"][1][1]]
+    is_vel = {meta["names"][k][0] for k in (0, 1)}
+
     def M(v):
         parts = {}
-        zbj = bj(v)
-        for k in (0, 1):
-            vn, pn = meta["names"][k]
-            f = space.fields[vn]
-            mg_v, ah_v = mgs[f.basis.degree]
-            r = space.unpack(v, vn)
-            comps = []
-            for d in range(f.n_components):
-                full = jnp.zeros((ah_v.n_poly, f.basis.n_basis),
-                                 dtype=v.dtype)
-                full = full.at[jnp.asarray(f.polys)].set(r[:, d, :])
-                z = mg_v.v_cycle(full.reshape(-1)) / nu
-                comps.append(z.reshape(
-                    ah_v.n_poly, -1)[jnp.asarray(f.polys)])
-            parts[vn] = jnp.stack(comps, axis=1)
-            parts[pn] = zbj[space.dof_slice(pn)]
+        if not tri:
+            zbj = bj(v)
+        done = {}
+        for name in order:
+            f = space.fields[name]
+            r = space.unpack(v, name).reshape(f.n_polys, f.block)
+            if tri:
+                for prev, zp in done.items():
+                    r = r - op.block_apply(name, prev, zp)
+            if name in is_vel:
+                z = field_v(name, r)
+            elif tri:
+                z = jnp.einsum("pij,pj->pi", Sinvs[name], r)
+            else:
+                z = zbj[space.dof_slice(name)].reshape(f.n_polys, f.block)
+            done[name] = z
+            parts[name] = z.reshape(f.n_polys, f.n_components,
+                                    f.basis.n_basis)
         return space.pack(parts)
 
     def A(v):

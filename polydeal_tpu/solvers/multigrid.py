@@ -1124,6 +1124,31 @@ def build_multigrid(
                            fused_smoother=fused_smoother)
 
 
+def _field_block_matrix(space, op, name, ah, nb, d, dtype):
+    """[BlockMatrix] the (name, name) diagonal block of ``op`` scattered
+    onto ``ah``'s full polytope set, identity-extended outside the
+    field's subdomain (see build_field_block_multigrid)."""
+    f = space.fields[name]
+    rows_l, cols_l, data = op.finalize()[(name, name)]
+    gp = np.asarray(f.polys)
+    rows, cols = gp[rows_l], gp[cols_l]
+    data = data.astype(dtype)
+    act = np.zeros(ah.n_poly, dtype=bool)
+    act[gp] = True
+    ext = np.nonzero(~act)[0]
+    blocks, r_all, c_all = [data], [rows], [cols]
+    if ext.size:
+        diag = data[rows_l == cols_l]
+        scale = jnp.trace(diag, axis1=1, axis2=2).mean() / f.block
+        eye = scale * jnp.eye(f.block, dtype=dtype)
+        blocks.append(jnp.broadcast_to(eye, (ext.size, f.block, f.block)))
+        r_all.append(ext)
+        c_all.append(ext)
+    return BlockMatrix.from_blocks(
+        np.concatenate(r_all), np.concatenate(c_all),
+        jnp.concatenate(blocks, axis=0), ah.n_poly), act
+
+
 def build_field_block_multigrid(
     space,
     op,
@@ -1135,6 +1160,7 @@ def build_field_block_multigrid(
     smoothing_range: float = 20.0,
     dtype=jnp.float64,
     coarse_solver: str = "lu",
+    level_ops: list | None = None,
 ) -> Multigrid:
     """Galerkin R3MG built from the coupled operator's ACTUAL
     (``name``, ``name``) diagonal block.
@@ -1160,6 +1186,13 @@ def build_field_block_multigrid(
     ``handlers``/``parents``: a hierarchy whose FINEST level's polytope
     ordering matches the coupled system's global polytope ids and whose
     basis equals the field's (same degree/family).
+
+    ``level_ops``: optional [(space_l, op_l)] aligned with ``handlers`` —
+    coupled systems RE-ASSEMBLED on each level handler; the field block
+    is then extracted per level (level-correct SIPG penalties) instead
+    of Galerkin-coarsened from the finest (which inherits the fine
+    penalty and degrades under refinement).  The last entry should be
+    the fine (space, op) pair itself.
     """
     f = space.fields[name]
     ah = handlers[-1]
@@ -1168,30 +1201,8 @@ def build_field_block_multigrid(
     assert f.basis.n_basis == nb, (
         f"hierarchy basis ({nb}) must match field '{name}' "
         f"({f.basis.n_basis})")
-    rows_l, cols_l, data = op.finalize()[(name, name)]
-    gp = np.asarray(f.polys)
-    rows, cols = gp[rows_l], gp[cols_l]
-    data = data.astype(dtype)
 
-    # exterior polytopes: scaled identity at the field's diagonal scale
-    # (keeps the Chebyshev eigenvalue estimates in the block's range)
-    act = np.zeros(ah.n_poly, dtype=bool)
-    act[gp] = True
-    ext = np.nonzero(~act)[0]
-    blocks, r_all, c_all = [data], [rows], [cols]
-    if ext.size:
-        diag = data[rows_l == cols_l]
-        scale = jnp.trace(diag, axis1=1, axis2=2).mean() / f.block
-        eye = scale * jnp.eye(f.block, dtype=dtype)
-        blocks.append(jnp.broadcast_to(eye, (ext.size, f.block, f.block)))
-        r_all.append(ext)
-        c_all.append(ext)
-
-    @jax.jit
-    def _build(blocks):
-        A = BlockMatrix.from_blocks(
-            np.concatenate(r_all), np.concatenate(c_all),
-            jnp.concatenate(blocks, axis=0), ah.n_poly)
+    def _embeddings():
         Es = []
         for l in range(len(handlers) - 1):
             E = build_embedding(handlers[l], handlers[l + 1], parents[l],
@@ -1200,13 +1211,41 @@ def build_field_block_multigrid(
                 E = jnp.einsum("de,pij->pdiej", jnp.eye(d, dtype=dtype),
                                E).reshape(E.shape[0], d * nb, d * nb)
             Es.append(E)
-        mats = [A]
-        for l in range(len(handlers) - 2, -1, -1):
-            mats.insert(0, galerkin_coarsen(mats[0], Es[l], parents[l],
-                                            handlers[l].n_poly))
-        return mats, Es
+        return Es
 
-    mats, Es = _build(blocks)
+    if level_ops is not None:
+        # RE-DISCRETIZED levels: extract the field's true block from a
+        # coupled system assembled on EACH level handler (level-correct
+        # SIPG penalties).  Galerkin-inherited SIPG keeps the FINE
+        # penalty ~1/h_fine on every coarse level, which over-penalizes
+        # the jumps and degrades the smoother as the mesh refines
+        # (measured: the u-block V-cycle CG grows 15/26/36 over n=8/16/32
+        # Galerkin-inherited vs near-flat re-discretized — the same
+        # reason the scalar flagship MG re-assembles per level).
+        assert len(level_ops) == len(handlers)
+        Es = _embeddings()
+        mats = []
+        act = None
+        for l, (sp_l, op_l) in enumerate(level_ops):
+            A_l, a_l = _field_block_matrix(sp_l, op_l, name, handlers[l],
+                                           nb, d, dtype)
+            mats.append(A_l)
+            if l == len(handlers) - 1:
+                act = a_l
+    else:
+        A_fine, act = _field_block_matrix(space, op, name, ah, nb, d,
+                                          dtype)
+
+        @jax.jit
+        def _build(A):
+            Es = _embeddings()
+            mats = [A]
+            for l in range(len(handlers) - 2, -1, -1):
+                mats.insert(0, galerkin_coarsen(mats[0], Es[l], parents[l],
+                                                handlers[l].n_poly))
+            return mats, Es
+
+        mats, Es = _build(A_fine)
 
     # Neumann-block coarse deflation: a field block whose subdomain has
     # no Dirichlet boundary (the pD block of darcy_stokes — reference

@@ -160,10 +160,11 @@ def test_mg_preconditioned_solve_mesh_robust():
                     / jnp.abs(x_dense).max())
         assert err < 1e-6, (n, err)
         iters[n] = int(res.iterations)
-    # measured (source='system', the true-diagonal-block Galerkin MG):
-    # 52 -> 116 -> 165 over n=8/16/32 (ratios 2.23, 1.42 — strongly
-    # decelerating), vs the scalar-SIPG proxy's 77 -> 140 -> 219 and
-    # plain block-Jacobi's faster-than-2x growth from a higher base.
-    # Guard the measured behavior with headroom:
-    assert iters[8] <= 75, iters
-    assert iters[16] <= 2.4 * iters[8], iters
+    # measured (structure='tri' + per-level re-discretized true blocks +
+    # stabilized pressure Schur): 49 -> 92 -> 103 over n=8/16/32 (the
+    # n=16->32 ratio is 1.12 — asymptotically flat; n=8's 2-level
+    # hierarchy makes the first ratio look worse than it is).  History:
+    # block-diagonal Galerkin-inherited measured 52/116/165, the
+    # scalar-SIPG proxy 77/140/219, block-Jacobi worse still.
+    assert iters[8] <= 60, iters
+    assert iters[16] <= 2.1 * iters[8], iters
