@@ -184,6 +184,7 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
             f"nb={nb}, dim={dim}, q={q}, C={C}, P={P}")
     (pts_in, pts_out, w, n, gamma), n_c = _pad_c(
         [pts_in, pts_out, w, n, gamma], C, Cc)
+    gamma = gamma[:, None, :]  # [C, 1, P] — see the kernel comment
 
     def kernel(pi_ref, po_ref, w_ref, n_ref, g_ref, ei_ref, eo_ref,
                m11_ref, m12_ref, m21_ref, m22_ref):
@@ -192,7 +193,9 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
         acc = [[[None] * nb for _ in range(nb)] for _ in range(4)]
         for c in range(Cc):
             wq = w_ref[c]  # [q, T]
-            gam = g_ref[c:c + 1, :]  # [1, T]
+            gam = g_ref[c]  # [1, T] (gamma ships [C, 1, P]: a (Cc, T)
+            # block would violate Mosaic's 8-sublane rule when Cc < C —
+            # first hit at p=2 coarse levels where the C loop chunks)
             pin = [pi_ref[c, :, d, :] for d in range(dim)]  # each [q, T]
             pout = [po_ref[c, :, d, :] for d in range(dim)]
             nrm = [n_ref[c, :, d, :] for d in range(dim)]
@@ -263,7 +266,8 @@ def _face_group_impl(pts_in, pts_out, w, n, gamma, inv_ext_in, inv_ext_out,
         grid=grid,
         in_specs=[
             spec4, spec4, spec3, spec4,
-            pl.BlockSpec((Cc, T), lambda t, c: (c, t), memory_space=vm),
+            pl.BlockSpec((Cc, 1, T), lambda t, c: (c, 0, t),
+                         memory_space=vm),
             spec2(dim), spec2(dim),
         ],
         out_specs=tuple(spec2(nb * nb) for _ in range(4)),
@@ -336,6 +340,8 @@ def _boundary_impl(pts, w, n, gamma, inv_ext, degree, dim, q, C, interpret,
             f"boundary kernel infeasible: no lane tile fits VMEM at "
             f"nb={nb}, dim={dim}, q={q}, C={C}, P={P}")
     (pts, w, n, gamma), n_c = _pad_c([pts, w, n, gamma], C, Cc)
+    gamma = gamma[:, None, :]  # [C, 1, P]: a (Cc, T) block would break
+    # Mosaic's 8-sublane rule when Cc < C (see _face_group_impl)
 
     def kernel(p_ref, w_ref, n_ref, g_ref, e_ref, out_ref):
         iex = [e_ref[d:d + 1, :] for d in range(dim)]
@@ -344,7 +350,7 @@ def _boundary_impl(pts, w, n, gamma, inv_ext, degree, dim, q, C, interpret,
             pc = [p_ref[c, :, d, :] for d in range(dim)]  # [q, T]
             nc = [n_ref[c, :, d, :] for d in range(dim)]
             wq = w_ref[c]  # [q, T]
-            gam = g_ref[c:c + 1, :]  # [1, T]
+            gam = g_ref[c]  # [1, T]
             B, G = _basis_slabs(pc, E, degree, iex, jnp)
             gn = [sum(G[i][d] * nc[d] for d in range(dim))
                   for i in range(nb)]
@@ -380,7 +386,8 @@ def _boundary_impl(pts, w, n, gamma, inv_ext, degree, dim, q, C, interpret,
                          memory_space=vm),
             pl.BlockSpec((Cc, q, dim, T), lambda t, c: (c, 0, 0, t),
                          memory_space=vm),
-            pl.BlockSpec((Cc, T), lambda t, c: (c, t), memory_space=vm),
+            pl.BlockSpec((Cc, 1, T), lambda t, c: (c, 0, t),
+                         memory_space=vm),
             pl.BlockSpec((dim, T), lambda t, c: (0, t), memory_space=vm),
         ],
         out_specs=pl.BlockSpec((nb * nb, T), lambda t, c: (0, t),

@@ -14,9 +14,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is compile-bound (XLA:CPU LLVM codegen dominates the 45-min
+# serial wall time); backend opt level 0 cuts module compiles ~30%
+# (measured: test_matfree 98.7s -> 68.5s, identical 207-test results
+# incl. the 1e-12/1e-14 exactness invariants — LLVM -O0 does not change
+# IEEE semantics, unlike fast-math).  POLYDEAL_XLA_OPT=1 restores the
+# default optimization level.
+if ("xla_backend_optimization_level" not in flags
+        and os.environ.get("POLYDEAL_XLA_OPT", "") != "1"):
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
