@@ -340,7 +340,11 @@ def bench_sharded(n: int, degree: int, rtol: float):
     dmesh = Mesh(np.array(jax.devices()[:1]), ("shard",))
     ss = ShardedBandedSystem.from_multigrid(mg, dmesh)
     xs, ks, _ = ss.solve_cg(b, rtol=rtol, maxiter=100)
-    t_sh = timeit(lambda bb: ss.solve_cg(bb, rtol=rtol, maxiter=100)[0], b)
+    # time the DEVICE-result entry point: solve_cg's int(k)/float(res)
+    # host reads cost a tunnel round trip each — more than a V-cycle —
+    # and the host arm above never pays them
+    t_sh = timeit(
+        lambda bb: ss.solve_cg_async(bb, rtol=rtol, maxiter=100)[0], b)
     err = float(jnp.max(jnp.abs(xs - r.x)))
     out = dict(
         n_dofs=ah.n_dofs,

@@ -11,9 +11,13 @@ expressed as four :class:`Field`s.  Interface faces between the halves
 couple test/trial functions from *different* spaces (non-square blocks).
 
 The reference splits the domain by curved manifolds
-(oseen.cc:519-600); we use the straight line x = 1/2 — the curved
-boundary is geometry decoration, the multi-space coupling mechanics are
-identical.
+(oseen.cc:519-600); :func:`run` uses the straight line x = 1/2 and
+:func:`run_curved` the curved interface x = 1/2 + a·sin(πy) —
+fine cells are CLASSIFIED by the curve and agglomerates never straddle
+it (blocks cut by the curve split per side, disconnected pieces
+repaired), so the interface is resolved by the fine-cell faces along
+the curve, exactly as the reference's manifold-classified agglomerates
+resolve theirs.
 
 Formulation (oseen.cc:745-1240): ν ∇v:∇u − (∇·v)p + q(∇·u) + v·(β·∇)u
 volume terms; SIPG velocity faces with σ_v = 40 ν(p+1)(p+d)/diam;
@@ -472,6 +476,54 @@ def run(n=16, block=2, degrees=((2, 1), (2, 1)), Re=10.0):
     np.add.at(pcx, c2p, centers[:, 0])
     pcx /= np.bincount(c2p)
     domain_id = (pcx > 0.5).astype(int)
+    space, op, rhs, meta = build_oseen(ah, domain_id, degrees, Re)
+    x = solve_oseen_dense(space, op, rhs, meta)
+    return space, x, meta
+
+
+def curved_split_agglomeration(mesh, n: int, block: int, curve_fn):
+    """Block agglomeration that never straddles the curved interface
+    x = curve_fn(y) (the reference's curved-manifold two-domain split,
+    oseen.cc:519-600, done by cell classification): blocks containing
+    cells on both sides split into one polytope per side; pieces a
+    wiggly curve disconnects are split further (Utils::Graph repair,
+    reference agglomeration_handler.cc:172-207).
+
+    Returns (c2p, domain_id[poly])."""
+    from polydeal_tpu.agglomeration.graph import (compact_labels,
+                                                  split_disconnected)
+
+    centers = mesh.cell_centers()
+    m = n // block
+    bx = np.minimum(((centers[:, 0] + 0.5) / 2.0 * m).astype(int), m - 1)
+    by = np.minimum((centers[:, 1] / 2.0 * m).astype(int), m - 1)
+    side = (centers[:, 0] > curve_fn(centers[:, 1])).astype(np.int64)
+    key = (bx * m + by) * 2 + side
+    _, c2p = np.unique(key, return_inverse=True)
+    c2p = split_disconnected(c2p.astype(np.int64), mesh.neighbors)
+    c2p = compact_labels(c2p)
+    n_poly = int(c2p.max()) + 1
+    # every polytope is single-sided by construction
+    dom = np.zeros(n_poly, dtype=np.int64)
+    np.maximum.at(dom, c2p, side)
+    return c2p.astype(np.int32), dom.astype(int)
+
+
+def run_curved(n=16, block=2, degrees=((2, 1), (2, 1)), Re=10.0,
+               amplitude=0.15):
+    """Kovasznay flow with the TWO spaces split by the CURVED interface
+    x = 1/2 + amplitude*sin(pi*y) (reference oseen.cc:519-600)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import polydeal_tpu as pd
+    from polydeal_tpu.mesh.fine_mesh import hyper_rectangle
+
+    mesh = hyper_rectangle(2, [n, n], lo=[-0.5, 0.0], hi=[1.5, 2.0])
+    c2p, domain_id = curved_split_agglomeration(
+        mesh, n, block, lambda y: 0.5 + amplitude * np.sin(np.pi * y))
+    deg_max = max(degrees[0][0], degrees[1][0])
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=deg_max)
     space, op, rhs, meta = build_oseen(ah, domain_id, degrees, Re)
     x = solve_oseen_dense(space, op, rhs, meta)
     return space, x, meta

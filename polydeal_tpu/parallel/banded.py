@@ -684,9 +684,17 @@ class ShardedBandedSystem:
                  precondition: bool = True):
         """SPMD MG-CG in the transposed lane-aligned layout throughout.
         b: flat [n_dofs]; returns (x flat, iterations, residual)."""
-        run = self._compiled(rtol, maxiter, precondition)
-        x, k, res = run(jnp.asarray(b), self.params, self.rep_mg)
+        x, k, res = self.solve_cg_async(b, rtol, maxiter, precondition)
         return x, int(k[0]), float(res[0])
+
+    def solve_cg_async(self, b, rtol: float = 1e-9, maxiter: int = 100,
+                       precondition: bool = True):
+        """Like :meth:`solve_cg` but returns DEVICE arrays
+        (x, k [1], res [1]) with no host synchronization — the timing
+        path: over a tunneled device, the two scalar host reads in
+        solve_cg cost more than a V-cycle each."""
+        run = self._compiled(rtol, maxiter, precondition)
+        return run(jnp.asarray(b), self.params, self.rep_mg)
 
     def _compiled(self, rtol, maxiter, precondition):
         """Jitted shard_map program, cached per solver configuration

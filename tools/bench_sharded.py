@@ -64,7 +64,9 @@ log(f"unsharded: iters={int(r.iterations)} solve={t_host*1e3:.1f}ms "
 dmesh = Mesh(np.array(jax.devices()[:1]), ("shard",))
 ss = ShardedBandedSystem.from_multigrid(mg, dmesh)
 xs, ks, ress = ss.solve_cg(b, rtol=1e-8, maxiter=100)
-t_sh = timeit(lambda bb: ss.solve_cg(bb, rtol=1e-8, maxiter=100)[0], b)
+# device-result entry point: solve_cg's scalar host reads are tunnel
+# round trips the unsharded arm never pays
+t_sh = timeit(lambda bb: ss.solve_cg_async(bb, rtol=1e-8, maxiter=100)[0], b)
 log(f"sharded(1dev): iters={ks} solve={t_sh*1e3:.1f}ms "
     f"dof/s={ah.n_dofs/t_sh/1e6:.2f}M ratio={t_sh/t_host:.3f}")
 assert ks == int(r.iterations), (ks, int(r.iterations))
