@@ -1,8 +1,9 @@
-"""Minimal gmsh .msh reader (ASCII, formats 2.2 and 4.1).
+"""Minimal gmsh .msh reader (formats 2.2 and 4.1, ASCII and BINARY).
 
 The reference consumes small gmsh grids in its tests/examples
 (test/polydeal/t2.msh, t3.msh, input_grids/square.msh, the 3D piston
-mesh).  Supports the element types the framework meshes cover:
+mesh) through deal.II ``GridIn``, which also accepts gmsh's binary
+encodings.  Supports the element types the framework meshes cover:
 quad(3), hexahedron(5), triangle(2), tetrahedron(4).
 
 Boundary ids: codimension-1 elements (lines in 2D; triangles/quads in
@@ -39,22 +40,25 @@ _DIM = {_LINE: 1, _TRI: 2, _QUAD: 2, _TET: 3, _HEX: 3}
 def read_msh(path: str):
     """Returns a FineMesh (quads/hexes) or SimplexMesh (tris/tets), with
     face boundary ids populated from codim-1 physical groups."""
-    with open(path) as fh:
-        lines = fh.read().split("\n")
-    i = 0
-
-    def until(tag):
-        nonlocal i
-        while i < len(lines) and lines[i].strip() != tag:
-            i += 1
-        i += 1
-
-    until("$MeshFormat")
-    version = float(lines[i].split()[0])
-    if version >= 4.0:
-        nodes, elements = _read_v4(lines)
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    # $MeshFormat line: "version file_type data_size"; file_type 1 = binary
+    k0 = raw.index(b"$MeshFormat")
+    fmt = raw[k0:raw.index(b"\n", k0 + 12) + 40].split(b"\n")[1].split()
+    version = float(fmt[0])
+    binary = int(fmt[1]) == 1
+    if binary:
+        if version >= 4.0:
+            nodes, elements = _read_v4_bin(raw)
+        else:
+            nodes, elements = _read_v2_bin(raw)
     else:
-        nodes, elements = _read_v2(lines)
+        lines = raw.decode()
+        lines = lines.split("\n")
+        if version >= 4.0:
+            nodes, elements = _read_v4(lines)
+        else:
+            nodes, elements = _read_v2(lines)
 
     # decide element family: prefer the highest-dimensional type present
     for types, simplex in (((_HEX,), False), ((_TET,), True),
@@ -177,4 +181,137 @@ def _read_v4(lines):
                 parts = lines[j + k].split()
                 elements.append((etype, [int(v) for v in parts[1:]], tag))
         j += count
+    return nodes, elements
+
+
+# ---------------------------------------------------------------------------
+# binary payload parsing.  gmsh binary files keep ASCII section markers
+# ($Nodes ... $EndNodes) with little-endian binary payloads between them;
+# the endianness-check int written after the format line is verified.
+
+
+class _Cursor:
+    def __init__(self, raw: bytes, pos: int = 0):
+        self.raw, self.pos = raw, pos
+
+    def seek_after(self, tag: bytes):
+        self.pos = self.raw.index(tag, self.pos) + len(tag)
+        # consume the trailing newline of the marker line
+        self.pos = self.raw.index(b"\n", self.pos) + 1
+
+    def line(self) -> bytes:
+        end = self.raw.index(b"\n", self.pos)
+        out = self.raw[self.pos:end]
+        self.pos = end + 1
+        return out
+
+    def ints(self, n, size=4):
+        dt = np.dtype("<i4") if size == 4 else np.dtype("<i8")
+        out = np.frombuffer(self.raw, dt, count=n, offset=self.pos)
+        self.pos += n * size
+        return out.astype(np.int64)
+
+    def doubles(self, n):
+        out = np.frombuffer(self.raw, np.dtype("<f8"), count=n,
+                            offset=self.pos)
+        self.pos += n * 8
+        return out
+
+
+def _check_endianness(raw: bytes):
+    c = _Cursor(raw)
+    c.seek_after(b"$MeshFormat")
+    c.line()  # "version 1 data_size"
+    one = c.ints(1)[0]
+    if one != 1:
+        raise ValueError(
+            "big-endian gmsh binary files are not supported "
+            f"(endianness marker {one})")
+
+
+def _read_v2_bin(raw: bytes):
+    """Binary v2.2: nodes = int32 tag + 3 float64; elements grouped by
+    (type, count, n_tags) int32 headers."""
+    _check_endianness(raw)
+    c = _Cursor(raw)
+    c.seek_after(b"$Nodes")
+    n_nodes = int(c.line())
+    rec = np.frombuffer(c.raw, np.dtype([("tag", "<i4"), ("xyz", "<f8", 3)]),
+                        count=n_nodes, offset=c.pos)
+    c.pos += n_nodes * (4 + 24)
+    nodes = np.zeros((int(rec["tag"].max()) + 1, 3))
+    nodes[rec["tag"]] = rec["xyz"]
+
+    c.seek_after(b"$Elements")
+    n_el = int(c.line())
+    elements = []
+    read = 0
+    while read < n_el:
+        etype, count, n_tags = (int(v) for v in c.ints(3))
+        n_nod = _N_NODES.get(etype)
+        skip_n = _BIN_V2_NNODES.get(etype)
+        if n_nod is None and skip_n is None:
+            raise ValueError(
+                f"unsupported element type {etype} in binary v2 mesh")
+        stride = 1 + n_tags + (n_nod if n_nod is not None else skip_n)
+        block = c.ints(count * stride).reshape(count, stride)
+        if n_nod is not None:
+            for row in block:
+                tag = int(row[1]) if n_tags >= 1 else None
+                elements.append((etype, row[1 + n_tags:].tolist(), tag))
+        read += count
+    return nodes, elements
+
+
+# node counts for element types we skip but must stride over in v2 binary
+_BIN_V2_NNODES = {15: 1, 8: 3, 9: 6, 11: 10, 16: 8, 17: 20}
+
+
+def _read_v4_bin(raw: bytes):
+    """Binary v4.1: size_t(8) counts/tags, int32 entity headers."""
+    _check_endianness(raw)
+    phys = {}
+    if b"$Entities" in raw:
+        c = _Cursor(raw)
+        c.seek_after(b"$Entities")
+        counts = c.ints(4, 8)
+        for edim in range(4):
+            for _ in range(int(counts[edim])):
+                tag = int(c.ints(1)[0])
+                c.doubles(3 if edim == 0 else 6)
+                n_phys = int(c.ints(1, 8)[0])
+                ptags = c.ints(n_phys)
+                if n_phys >= 1:
+                    phys[(edim, tag)] = int(ptags[0])
+                if edim > 0:
+                    n_bnd = int(c.ints(1, 8)[0])
+                    c.ints(n_bnd)
+
+    c = _Cursor(raw)
+    c.seek_after(b"$Nodes")
+    n_blocks, _n_nodes, _mn, max_tag = (int(v) for v in c.ints(4, 8))
+    nodes = np.zeros((max_tag + 1, 3))
+    for _ in range(n_blocks):
+        c.ints(3)  # entityDim, entityTag, parametric
+        count = int(c.ints(1, 8)[0])
+        tags = c.ints(count, 8)
+        xyz = c.doubles(3 * count).reshape(count, 3)
+        nodes[tags] = xyz
+
+    c.seek_after(b"$Elements")
+    n_blocks = int(c.ints(1, 8)[0])
+    c.ints(3, 8)  # numElements, min, max
+    elements = []
+    for _ in range(n_blocks):
+        edim, etag, etype = (int(v) for v in c.ints(3))
+        count = int(c.ints(1, 8)[0])
+        n_nod = _N_NODES.get(etype, _BIN_V2_NNODES.get(etype))
+        if n_nod is None:
+            raise ValueError(f"unsupported element type {etype} "
+                             "in binary v4 mesh")
+        block = c.ints(count * (1 + n_nod), 8).reshape(count, 1 + n_nod)
+        tag = phys.get((edim, etag), etag)
+        if etype in _N_NODES:
+            for row in block:
+                elements.append((etype, row[1:].tolist(), tag))
     return nodes, elements
