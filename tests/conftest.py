@@ -61,7 +61,13 @@ import pytest
 # the per-test clear is scoped to the modules whose tests individually
 # accumulate many large MG/shard_map executables (where the crash was
 # observed); everywhere else a per-module clear bounds accumulation.
-_CLEAR_EVERY_TEST = {"test_multigrid", "test_sharding"}
+# POLYDEAL_CLEAR_EVERY_TEST=0 disables the per-test clear (library-level
+# jitted helpers then stay warm across a module's tests).  RE-TESTED
+# round 5 (jax 0.9.0): test_multigrid still ABORTS mid-module without
+# the clear — keep the default on.
+_CLEAR_EVERY_TEST = (
+    set() if os.environ.get("POLYDEAL_CLEAR_EVERY_TEST", "") == "0"
+    else {"test_multigrid", "test_sharding"})
 
 
 @pytest.fixture(autouse=True)
