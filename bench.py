@@ -411,6 +411,16 @@ def bench_monodomain(n_ref: int, degree: int, n_steps: int, dt: float):
 
 
 def main():
+    # persistent XLA compilation cache (TPU backend only — the XLA:CPU
+    # loader crash that forced the round-3 revert is CPU-specific):
+    # build_multigrid's fresh closure-jits defeat the in-memory cache, so
+    # every arm re-compiles programs an earlier arm already built;
+    # measured on v5e: mg_setup 164.3s -> 67.1s across processes.
+    # Opt out with POLYDEAL_JAX_CACHE=0.
+    from polydeal_tpu.utils.timer import enable_compilation_cache
+
+    enable_compilation_cache()
+
     n = int(os.environ.get("BENCH_N", "64"))  # fine cells per direction
     degree = int(os.environ.get("BENCH_DEGREE", "1"))
     rtol = float(os.environ.get("BENCH_RTOL", "1e-8"))

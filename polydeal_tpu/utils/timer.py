@@ -85,3 +85,34 @@ class Timer:
             lines.append(f"| {k:<31} | {self.totals[k]:>10.4f} | {self.counts[k]:>5} |")
         lines.append("+---------------------------------+------------+-------+")
         return "\n".join(lines)
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
+    """Enable jax's persistent compilation cache for NON-CPU backends.
+
+    The MG setup is compile-dominated: build_multigrid creates fresh
+    closure-jits per call, so the in-memory executable cache never hits
+    across setups, while the persistent cache keys on the HLO
+    fingerprint and does (measured: the bench's structured arm re-uses
+    every program shape the rtree arm compiled).  Gated off on CPU:
+    XLA:CPU's AOT loader intermittently aborts on cache entries whose
+    recorded machine features disagree with the host (see
+    tests/conftest.py) — that failure mode is CPU-specific.
+
+    Returns the cache dir in effect, or None when skipped (CPU backend
+    or POLYDEAL_JAX_CACHE=0)."""
+    import os
+
+    import jax
+
+    if os.environ.get("POLYDEAL_JAX_CACHE", "") == "0":
+        return None
+    if jax.default_backend() == "cpu":
+        return None
+    cache_dir = (cache_dir or os.environ.get("POLYDEAL_JAX_CACHE")
+                 or os.path.expanduser("~/.cache/polydeal_tpu_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache_dir

@@ -27,6 +27,9 @@ def log(m):
 
 def run_scale():
     import gc
+    from polydeal_tpu.utils.timer import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp

@@ -8,6 +8,8 @@ shard_map program structure).
 import os, sys as _sys
 _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, sys
+from polydeal_tpu.utils.timer import enable_compilation_cache
+enable_compilation_cache()
 import numpy as np
 import jax, jax.numpy as jnp
 from jax.sharding import Mesh
