@@ -153,3 +153,33 @@ def test_oseen_curved_interface_convergence():
     # (more interface area than the straight split's n cells)
     assert space.fields["uL"].n_polys > 0
     assert space.fields["uR"].n_polys > 0
+
+
+def test_oseen_mg_tri_structure_matches_dense():
+    """structure='tri' (block-triangular + stabilized mass-Schur
+    pressures) is a documented NEGATIVE result for oseen (more
+    iterations than 'diag' — see solve_oseen_mg docstring) but must
+    stay CORRECT: it reproduces the dense solution."""
+    import polydeal_tpu as pd
+    from polydeal_tpu.mesh.fine_mesh import hyper_rectangle
+    from polydeal_tpu.models.oseen import (build_oseen, solve_oseen_dense,
+                                           solve_oseen_mg)
+
+    n = 8
+    mesh = hyper_rectangle(2, [n, n], lo=[-0.5, 0.0], hi=[1.5, 2.0])
+    centers = mesh.cell_centers()
+    m = n // 2
+    bx = np.minimum(((centers[:, 0] + 0.5) / 2.0 * m).astype(int), m - 1)
+    by = np.minimum((centers[:, 1] / 2.0 * m).astype(int), m - 1)
+    c2p = bx * m + by
+    ah = pd.AgglomerationHandler(mesh, c2p, degree=2)
+    pcx = np.zeros(ah.n_poly)
+    np.add.at(pcx, c2p, centers[:, 0])
+    pcx /= np.bincount(c2p)
+    domain_id = (pcx > 0.5).astype(int)
+    space, op, rhs, meta = build_oseen(ah, domain_id)
+    x_dense = solve_oseen_dense(space, op, rhs, meta)
+    res = solve_oseen_mg(space, op, rhs, meta, mesh, n, 2, rtol=1e-11,
+                         structure="tri")
+    err = float(jnp.abs(res.x - x_dense).max() / jnp.abs(x_dense).max())
+    assert err < 1e-6, err
