@@ -63,6 +63,10 @@ def bench_poisson(hierarchy: str, n: int, degree: int, rtol: float,
     # smoothing helps; the bigger coarsest level is solved directly via
     # the explicit-inverse matmul (BENCH_COARSE_SOLVER=inv) which is
     # MXU-bound instead of the TRSM latency-bound lu_solve.
+    # Swept round 5 at 1M DoF: trim=3 (coarsest 512) 11.1-11.5M DoF/s @
+    # 20 iters; trim=4 (coarsest 4096) 10.59M @ 23; trim=2 (coarsest
+    # 16384) infeasible — XLA's LuDecompositionBlock overflows its
+    # scoped VMEM there (the same bound bench_scale works around).
     trim = int(os.environ.get("BENCH_TRIM", "3"))
     coarse_solver = os.environ.get("BENCH_COARSE_SOLVER", "inv")
     relabel = os.environ.get("BENCH_RELABEL", "lex")
