@@ -71,13 +71,30 @@ def build_embedding(
     function expressed in the child's basis (exact polynomial embedding).
 
     prolong: u_f[c] = E[c] @ u_c[parent[c]].
+
+    The reference-cell mass matrix M of the child basis is GEOMETRY-
+    INDEPENDENT (identity up to round-off for the orthonormal modal
+    basis), so its inverse is computed once on host in f64 and applied
+    as one einsum.  This deliberately avoids a batched
+    ``jnp.linalg.solve([Pf, nb, nb])`` on TPU: at nb=20 (p=3, 3D) with
+    Pf >= 32768, XLA's batched LuDecomposition silently returned NaN in
+    f32 (found by the round-5 p=3 bench — every transfer came out NaN
+    while the same solve at nb<=10 or small Pf was fine).
     """
+    import jax
+
     basis = fine.basis
     nb = basis.n_basis
-    pts, wts = tensor_gauss(fine.dim, fine.degree + 1)
-    pts = jnp.asarray(pts, dtype=dtype)
-    wts = jnp.asarray(wts, dtype=dtype)
+    pts_np, wts_np = tensor_gauss(fine.dim, fine.degree + 1)
+    # concrete (host) evaluation even when called under jit: pts are
+    # compile-time constants
+    with jax.ensure_compile_time_eval():
+        Bc = np.asarray(basis.eval(jnp.asarray(pts_np)), np.float64)
+    Mnp = np.einsum("qi,qk,q->ik", Bc, Bc, wts_np)
+    Minv = jnp.asarray(np.linalg.inv(Mnp), dtype=dtype)
 
+    pts = jnp.asarray(pts_np, dtype=dtype)
+    wts = jnp.asarray(wts_np, dtype=dtype)
     # affine child-unit -> parent-unit map
     s = jnp.asarray(fine.extents[np.arange(fine.n_poly)]
                     / coarse.extents[parent], dtype=dtype)  # [Pf, dim]
@@ -88,11 +105,8 @@ def build_embedding(
     B_child = basis.eval(pts).astype(dtype)  # [Q, nb]
     B_par = basis.eval(parent_pts).astype(dtype)  # [Pf, Q, nb]
 
-    # reference-cell mass matrix of the child basis (identity for modal)
-    M = jnp.einsum("qi,qk,q->ik", B_child, B_child, wts)
     R = jnp.einsum("qi,pqj,q->pij", B_child, B_par, wts)
-    E = jnp.linalg.solve(M[None, :, :], R)
-    return E
+    return jnp.einsum("ik,pkj->pij", Minv, R)
 
 
 def galerkin_coarsen(
